@@ -1,0 +1,232 @@
+"""Monte-Carlo BER/FER campaign harness.
+
+The TPU-native equivalent of the reference test bench's measurement loop
+(``/root/reference/testbench.cc:105-221``): for each SNR point, run batches
+of random frames through encode → AWGN → quantize → decode → compare, and
+accumulate the same four diagnostic counters:
+
+* ``awgn_errors``            — channel-induced sign flips (post-quantizer)
+* ``quantization_erasures``  — LLRs quantized to exactly 0
+* ``uncorrected_errors``     — decoded info bits disagreeing with the message
+* ``ambiguity_erasures``     — decoded info bits equal to 0
+
+One jitted step processes a whole frame batch (thousands of frames — the
+TPU's lane analog of the reference's 32 SIMD lanes); the SNR sweep loop and
+early-stop logic stay in Python. Every batch is a pure function of a PRNG
+key, so campaigns are restartable and shard cleanly across devices (see
+``polar_tpu.parallel.campaign``).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .channel import awgn_llrs, ebn0_db
+from .code.construction import PolarCode, design_snr_db
+from .decode.fastssc import make_fastssc_decoder
+from .encode import encode, encode_systematic, extract_systematic
+
+
+@dataclass
+class SnrPoint:
+    snr_db: float
+    ebn0_db: float
+    frames: int
+    bit_errors: int
+    ber: float
+    fer: float
+    awgn_errors: int
+    quantization_erasures: int
+    ambiguity_erasures: int
+    info_bits_per_sec: float  # decode-only throughput, Mbit/s * 1e6
+
+
+@dataclass
+class CampaignResult:
+    code_n: int
+    code_k: int
+    systematic: bool
+    points: list = field(default_factory=list)
+    qef_snr_db: float = math.inf  # lowest SNR of the error-free tail
+    peak_mbps: float = 0.0        # peak decode throughput, info Mbit/s
+
+    def table(self) -> str:
+        """4-column table matching ``testbench.cc:218`` (SNR BER Mbit/s Eb/N0)."""
+        return "\n".join(
+            f"{p.snr_db:.1f} {p.ber:g} {p.info_bits_per_sec / 1e6:.1f} {p.ebn0_db:g}"
+            for p in self.points
+        )
+
+
+def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
+                   decoder=None):
+    """The unjitted Monte-Carlo step body: (key, snr_db, batch) → counters.
+
+    Exposed separately so the sharded campaign can wrap it in ``shard_map``
+    (one body per device shard, counters ``psum``-reduced); single-device
+    callers use :func:`make_step` which simply jits it.
+    """
+    if decoder is None:
+        decoder = make_fastssc_decoder(code)
+    enc = encode_systematic if systematic else encode
+
+    def step(key, snr_db, batch: int):
+        kmsg, knoise = jax.random.split(key)
+        bits = jax.random.bernoulli(kmsg, 0.5, (batch, code.K))
+        message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
+        codeword = enc(code, message)
+        llrs = awgn_llrs(knoise, codeword, snr_db, dtype)
+        decoded_u = decoder(llrs)
+        decoded = extract_systematic(code, decoded_u) if systematic else decoded_u
+        errs = decoded.astype(jnp.int32) * message.astype(jnp.int32) <= 0
+        frame_err = jnp.any(errs, axis=-1)
+        return {
+            "uncorrected_errors": jnp.sum(errs, dtype=jnp.int32),
+            "frame_errors": jnp.sum(frame_err, dtype=jnp.int32),
+            "ambiguity_erasures": jnp.sum(decoded == 0, dtype=jnp.int32),
+            "awgn_errors": jnp.sum(
+                llrs.astype(jnp.int32) * codeword.astype(jnp.int32) < 0,
+                dtype=jnp.int32,
+            ),
+            "quantization_erasures": jnp.sum(llrs == 0, dtype=jnp.int32),
+        }
+
+    return step
+
+
+def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
+              decoder=None):
+    """Build the jitted Monte-Carlo step: ``step(key, snr_db, batch)``.
+
+    Counters come back as int32 device scalars and are accumulated into
+    Python ints host-side, so campaign totals never overflow. The whole
+    chain (message gen, encode, channel, decode, scoring) runs in one XLA
+    program on device; ``snr_db`` is traced, so one compilation serves the
+    entire waterfall sweep.
+    """
+    body = make_step_body(code, systematic=systematic, dtype=dtype,
+                          decoder=decoder)
+    return jax.jit(body, static_argnums=(2,))
+
+
+def run_point(
+    code: PolarCode,
+    snr_db: float,
+    *,
+    key,
+    step=None,
+    systematic: bool = True,
+    dtype=jnp.int8,
+    batch: int = 4096,
+    max_frames: int = 1 << 16,
+    target_bit_errors: int = 1000,
+    decode_fn=None,
+    measure_throughput: bool = False,
+) -> SnrPoint:
+    """Measure one SNR point, stopping once enough errors are seen
+    (``testbench.cc:125``: errors >= 1000 or the frame budget is hit)."""
+    if step is None:
+        step = make_step(code, systematic=systematic, dtype=dtype)
+    totals = {}
+    frames = 0
+    while frames < max_frames and totals.get("uncorrected_errors", 0) < target_bit_errors:
+        key, sub = jax.random.split(key)
+        out = jax.device_get(step(sub, snr_db, batch))
+        frames += batch
+        for k, v in out.items():
+            totals[k] = totals.get(k, 0) + int(v)
+
+    mbps = 0.0
+    if measure_throughput and decode_fn is not None:
+        mbps = measure_decode_throughput(code, decode_fn, snr_db, key, batch, dtype)
+
+    bits = frames * code.K
+    return SnrPoint(
+        snr_db=snr_db,
+        ebn0_db=ebn0_db(snr_db, code.rate),
+        frames=frames,
+        bit_errors=totals["uncorrected_errors"],
+        ber=totals["uncorrected_errors"] / bits,
+        fer=totals["frame_errors"] / frames,
+        awgn_errors=totals["awgn_errors"],
+        quantization_erasures=totals["quantization_erasures"],
+        ambiguity_erasures=totals["ambiguity_erasures"],
+        info_bits_per_sec=mbps,
+    )
+
+
+def measure_decode_throughput(code, decode_fn, snr_db, key, batch, dtype,
+                              iters: int = 10) -> float:
+    """Decode-only throughput in info bits/s (compile excluded), the analog
+    of the timed region at ``testbench.cc:170-174``."""
+    k1, k2 = jax.random.split(key)
+    bits = jax.random.bernoulli(k1, 0.5, (batch, code.K))
+    message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
+    llrs = awgn_llrs(k2, encode(code, message), snr_db, dtype)
+    fn = jax.jit(decode_fn)
+    fn(llrs).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(llrs)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return batch * code.K / dt
+
+
+def run_campaign(
+    code: PolarCode,
+    *,
+    seed: int = 0,
+    systematic: bool = True,
+    dtype=jnp.int8,
+    batch: int = 4096,
+    max_frames_per_point: int = 1 << 16,
+    target_bit_errors: int = 1000,
+    snr_range: tuple | None = None,
+    snr_step: float = 0.1,
+    stop_after_clean: int = 4,
+    measure_throughput: bool = True,
+    verbose: bool = False,
+) -> CampaignResult:
+    """Full waterfall sweep with the reference's early-stop rule: finish
+    after ``stop_after_clean`` consecutive error-free points
+    (``testbench.cc:110,198-201``)."""
+    design = design_snr_db(1.0 - code.rate)
+    if snr_range is None:
+        snr_range = (math.floor(design - 3), math.ceil(design + 5))
+    decoder = make_fastssc_decoder(code)
+    step = make_step(code, systematic=systematic, dtype=dtype, decoder=decoder)
+    key = jax.random.PRNGKey(seed)
+    result = CampaignResult(code_n=code.N, code_k=code.K, systematic=systematic)
+    clean = 0
+    snr = snr_range[0]
+    while snr <= snr_range[1] + 1e-9 and clean < stop_after_clean:
+        key, sub = jax.random.split(key)
+        point = run_point(
+            code, round(snr, 6), key=sub, step=step, systematic=systematic,
+            dtype=dtype, batch=batch, max_frames=max_frames_per_point,
+            target_bit_errors=target_bit_errors, decode_fn=decoder,
+            measure_throughput=measure_throughput,
+        )
+        result.points.append(point)
+        result.peak_mbps = max(result.peak_mbps, point.info_bits_per_sec / 1e6)
+        if point.bit_errors == 0:
+            result.qef_snr_db = min(result.qef_snr_db, point.snr_db)
+            clean += 1
+        else:
+            clean = 0
+            result.qef_snr_db = math.inf
+        if verbose:
+            print(
+                f"{point.snr_db:.1f} {point.ber:g} "
+                f"{point.info_bits_per_sec / 1e6:.1f} {point.ebn0_db:g}",
+                flush=True,
+            )
+        snr += snr_step
+    return result

@@ -1,0 +1,176 @@
+"""Polar code construction (bit freezing) via Bhattacharyya evolution.
+
+Reproduces both construction modes of the reference
+(``/root/reference/polar_freezer.hh``):
+
+* threshold mode (``PolarFreezer``, lines 11-32): freeze leaf i iff its
+  erasure probability exceeds a threshold; K is an output.
+* fixed-K mode (``PolarCodeConst0``, lines 34-62): keep the K most
+  reliable leaves as information bits; K is an input.
+
+The probability recursion is the erasure-channel evolution: descending a
+level, the left child sees ``pe*(2-pe)`` and the right child ``pe**2``
+(``polar_freezer.hh:16-18``).
+
+TPU-first/accuracy note: the reference evolves probabilities in linear
+``long double`` space, which underflows to 0 around level 14+ for typical
+design points, producing arbitrary tie-breaks in ``std::nth_element``.
+We evolve **log-probabilities in float64** instead: ``log pe`` supports
+exponents far beyond any practical N (values like -1e6 are exact to ~1e-10
+relative), so rankings stay total and deterministic. Selection tie-breaks
+are stable by leaf index. Construction runs vectorized in numpy on the
+host — it is per-code, amortized over every encode/decode that follows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def bhattacharyya_logpe(level: int, erasure_probability: float = math.exp(-1.0)) -> np.ndarray:
+    """Log erasure probability of every bit channel after ``level`` splits.
+
+    Returns a float64 array of shape (2**level,), where entry i is
+    ``log pe`` of leaf i in natural (decoder) order. The recursion of
+    ``polar_freezer.hh:37-45`` is unrolled breadth-first and vectorized:
+    at each level the left-half children get ``log(pe*(2-pe))`` and the
+    right-half children ``log(pe**2)``.
+    """
+    if not (0.0 < erasure_probability < 1.0):
+        raise ValueError("erasure_probability must be in (0, 1)")
+    logpe = np.array([math.log(erasure_probability)], dtype=np.float64)
+    for _ in range(level):
+        # log(pe*(2-pe)) = log(pe) + log(2) + log1p(-pe/2), stable for tiny pe.
+        pe = np.exp(logpe)
+        left = logpe + math.log(2.0) + np.log1p(-0.5 * pe)
+        right = 2.0 * logpe
+        # Node j owns a contiguous leaf block; its left child owns the first
+        # half, the right child the second (``polar_freezer.hh:16-18``), so
+        # breadth-first the children of consecutive nodes are [l0,r0,l1,r1,...].
+        logpe = np.stack([left, right], axis=1).reshape(-1)
+    return logpe
+
+
+def frozen_mask_fixed_k(
+    level: int, K: int, erasure_probability: float = math.exp(-1.0)
+) -> np.ndarray:
+    """Fixed-K construction: freeze all but the K most reliable leaves.
+
+    Mirrors ``PolarCodeConst0::operator()`` (``polar_freezer.hh:49-61``)
+    with deterministic stable tie-breaking (ascending log-pe, then index).
+    Returns a uint8 mask of shape (2**level,), 1 = frozen.
+    """
+    n = 1 << level
+    if not (0 <= K <= n):
+        raise ValueError(f"K={K} out of range for N={n}")
+    logpe = bhattacharyya_logpe(level, erasure_probability)
+    order = np.argsort(logpe, kind="stable")
+    frozen = np.ones(n, dtype=np.uint8)
+    frozen[order[:K]] = 0
+    return frozen
+
+
+def frozen_mask_threshold(
+    level: int,
+    erasure_probability: float = 0.5,
+    freezing_threshold: float = 0.5,
+) -> np.ndarray:
+    """Threshold construction: freeze leaf i iff pe_i > threshold.
+
+    Mirrors ``PolarFreezer::operator()`` (``polar_freezer.hh:23-31``).
+    Returns a uint8 mask, 1 = frozen; K is ``(mask == 0).sum()``.
+    """
+    logpe = bhattacharyya_logpe(level, erasure_probability)
+    return (logpe > math.log(freezing_threshold)).astype(np.uint8)
+
+
+def design_snr_db(erasure_probability: float) -> float:
+    """Design Es/N0 in dB for an erasure probability (``testbench.cc:76``)."""
+    return 10.0 * math.log10(-math.log(erasure_probability))
+
+
+def erasure_probability_for_snr_db(snr_db: float) -> float:
+    """Inverse of :func:`design_snr_db` (``testbench.cc:87``)."""
+    return math.exp(-(10.0 ** (snr_db / 10.0)))
+
+
+@dataclass(frozen=True)
+class PolarCode:
+    """A constructed polar code: the static spec every kernel specializes on.
+
+    The analog of the reference's (template M, frozen array) pair. Hashable
+    by content so jitted encoders/decoders can be cached per code.
+    """
+
+    level: int
+    frozen: np.ndarray = field(repr=False)  # uint8 (N,), 1 = frozen
+
+    def __post_init__(self):
+        f = np.ascontiguousarray(np.asarray(self.frozen, dtype=np.uint8))
+        if f.shape != (1 << self.level,):
+            raise ValueError(f"frozen mask shape {f.shape} != ({1 << self.level},)")
+        f.setflags(write=False)
+        object.__setattr__(self, "frozen", f)
+
+    @property
+    def N(self) -> int:
+        return 1 << self.level
+
+    @property
+    def K(self) -> int:
+        return int((self.frozen == 0).sum())
+
+    @property
+    def rate(self) -> float:
+        return self.K / self.N
+
+    @property
+    def info_indices(self) -> np.ndarray:
+        """Leaf indices carrying information bits, ascending (= message order)."""
+        return np.flatnonzero(self.frozen == 0)
+
+    def __hash__(self):
+        return hash((self.level, self.frozen.tobytes()))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, PolarCode)
+            and self.level == other.level
+            and bool(np.array_equal(self.frozen, other.frozen))
+        )
+
+    def __repr__(self):
+        return f"PolarCode(N={self.N}, K={self.K})"
+
+
+def make_code(
+    level: int,
+    K: int | None = None,
+    *,
+    rate: float | None = None,
+    design_snr_offset_db: float = 1.59175,
+    erasure_probability: float | None = None,
+) -> PolarCode:
+    """Construct a code the way the reference testbench does.
+
+    With ``K`` (or ``rate``): fixed-K construction at a design point derived
+    from the rate — ``testbench.cc:74-89``: the base design SNR is
+    ``10*log10(-ln(1-rate))``, improved by ``design_snr_offset_db``
+    (+1.59175 dB), then converted back to an erasure probability.
+    An explicit ``erasure_probability`` overrides that recipe.
+    """
+    n = 1 << level
+    if K is None:
+        if rate is None:
+            rate = 0.5
+        K = int(round(rate * n))
+    if not (0 < K < n):
+        raise ValueError(f"K={K} must be in (0, {n}) for N={n}")
+    if erasure_probability is None:
+        base_pe = 1.0 - K / n
+        snr = design_snr_db(base_pe) + design_snr_offset_db
+        erasure_probability = erasure_probability_for_snr_db(snr)
+    return PolarCode(level, frozen_mask_fixed_k(level, K, erasure_probability))

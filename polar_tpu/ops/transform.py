@@ -1,0 +1,39 @@
+"""Batched polar transform (the XOR butterfly in the ±1 hard-symbol domain).
+
+The polar transform F^{⊗m} applied over GF(2) is expressed here on BPSK
+hard symbols (bit 0 ↔ +1, bit 1 ↔ -1), where XOR becomes multiplication.
+This reproduces the structure of the reference butterfly
+(``/root/reference/polar_encoder.hh:17-26``): stage h pairs element j with
+element j+h and replaces the lower element by the product.
+
+TPU-first notes: each stage is one fused elementwise multiply over a
+``(..., N/(2h), 2, h)`` view — static shapes, no gathers, XLA fuses the
+log2(N) stages into a handful of vector ops. The leading batch dimensions
+(frames) ride along untouched, so a single call transforms an arbitrarily
+large frame batch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def polar_transform(x):
+    """Apply the N×N polar transform along the last axis.
+
+    ``x``: (..., N) hard symbols in {-1, 0, +1} (any int or float dtype).
+    The transform is an involution over GF(2): applying it twice yields the
+    input (for ±1 inputs), a property the systematic encoder exploits.
+    """
+    n = x.shape[-1]
+    if n & (n - 1):
+        raise ValueError(f"N must be a power of two, got {n}")
+    lead = x.shape[:-1]
+    h = 1
+    while h < n:
+        v = x.reshape(*lead, n // (2 * h), 2, h)
+        lo = v[..., 0, :] * v[..., 1, :]
+        x = jnp.concatenate([lo[..., None, :], v[..., 1:2, :]], axis=-2)
+        x = x.reshape(*lead, n)
+        h *= 2
+    return x

@@ -1,0 +1,64 @@
+"""BER harness tests: counters, waterfall behavior, reproducibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import polar_tpu as pt
+
+
+CODE = pt.make_code(6, rate=0.5)  # small code keeps CPU compiles fast
+
+
+def test_step_counters_clean_channel():
+    step = pt.make_step(CODE, systematic=True)
+    out = step(jax.random.PRNGKey(0), 20.0, 128)
+    assert int(out["uncorrected_errors"]) == 0
+    assert int(out["frame_errors"]) == 0
+    assert int(out["ambiguity_erasures"]) == 0
+
+
+def test_step_counters_noisy_channel():
+    step = pt.make_step(CODE, systematic=True)
+    out = step(jax.random.PRNGKey(0), -3.0, 256)
+    assert int(out["awgn_errors"]) > 0
+    assert int(out["uncorrected_errors"]) > 0
+
+
+def test_run_point_reproducible():
+    a = pt.run_point(CODE, 1.0, key=jax.random.PRNGKey(3), batch=256,
+                     max_frames=512)
+    b = pt.run_point(CODE, 1.0, key=jax.random.PRNGKey(3), batch=256,
+                     max_frames=512)
+    assert a.bit_errors == b.bit_errors
+    assert a.ber == b.ber
+
+
+def test_ber_decreases_with_snr():
+    step = pt.make_step(CODE, systematic=True)
+    bers = []
+    for snr in (-4.0, 0.0, 6.0):
+        p = pt.run_point(CODE, snr, key=jax.random.PRNGKey(1), step=step,
+                         batch=512, max_frames=1024)
+        bers.append(p.ber)
+    assert bers[0] > bers[1] > bers[2] or (bers[1] > bers[2] == 0.0)
+    assert bers[2] == 0.0
+
+
+def test_campaign_early_stop_and_table():
+    res = pt.run_campaign(
+        CODE, batch=256, max_frames_per_point=512, target_bit_errors=100,
+        snr_range=(3.0, 12.0), snr_step=1.0, stop_after_clean=2,
+        measure_throughput=False,
+    )
+    assert res.qef_snr_db < 12.0
+    assert len(res.points) >= 2
+    assert res.points[-1].bit_errors == 0
+    table = res.table()
+    assert len(table.splitlines()) == len(res.points)
+
+
+def test_nonsystematic_step():
+    step = pt.make_step(CODE, systematic=False)
+    out = step(jax.random.PRNGKey(5), 20.0, 64)
+    assert int(out["uncorrected_errors"]) == 0
