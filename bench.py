@@ -9,11 +9,16 @@ measured on this host via the test oracle's ``bench`` command
 Polar(1024, 512), random full-range int8 LLRs → 2,517,424 frames/s
 (measured 2026-08-16, g++ -O2 -march=native, 32 SIMD lanes).
 BASELINE.json's target is ≥10× this on one v5e chip.
+
+Measurement method: decodes are chained inside one jitted program with
+true data dependencies and completion is forced by a host scalar pull;
+the reported time is the slope between 1-iteration and n-iteration runs
+(see polar_tpu/utils/benchmark.py — robust against async-dispatch acks
+and relay-side request dedup, both observed on the axon backend).
 """
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -21,26 +26,19 @@ AVX2_REFERENCE_FPS_N1024 = 2_517_424.0
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     import polar_tpu as pt
+    from polar_tpu.utils.benchmark import measure_decode_fps
 
     code = pt.make_code(10, rate=0.5)
-    decode = jax.jit(pt.make_fastssc_decoder(code))
+    decode = pt.make_fastssc_decoder(code, output_dtype=jnp.int8)
 
-    batch = 16384
+    batch = 32768
     rng = np.random.default_rng(42)
     llrs = jnp.asarray(rng.integers(-128, 128, (batch, code.N)).astype(np.int8))
 
-    decode(llrs).block_until_ready()  # compile (excluded, like testbench)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = decode(llrs)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    fps = batch / dt
+    fps = measure_decode_fps(decode, llrs, iters=8)
 
     print(
         json.dumps(

@@ -20,7 +20,6 @@ key, so campaigns are restartable and shard cleanly across devices (see
 from __future__ import annotations
 
 import math
-import time
 from dataclasses import dataclass, field
 
 import jax
@@ -30,7 +29,7 @@ import numpy as np
 from .channel import awgn_llrs, ebn0_db
 from .code.construction import PolarCode, design_snr_db
 from .decode.fastssc import make_fastssc_decoder
-from .encode import encode, encode_systematic, extract_systematic
+from .encode import encode, encode_systematic
 
 
 @dataclass
@@ -65,15 +64,24 @@ class CampaignResult:
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
-                   decoder=None):
+                   decoder=None, compute=None):
     """The unjitted Monte-Carlo step body: (key, snr_db, batch) → counters.
 
     Exposed separately so the sharded campaign can wrap it in ``shard_map``
     (one body per device shard, counters ``psum``-reduced); single-device
     callers use :func:`make_step` which simply jits it.
+
+    In systematic mode the decoder emits the systematic message directly
+    (re-encode + info gather fused into the decode program) — bit-exact
+    with the reference's extraction (``testbench.cc:177-183``).
     """
     if decoder is None:
-        decoder = make_fastssc_decoder(code)
+        decoder = make_fastssc_decoder(
+            code,
+            output="systematic" if systematic else "u",
+            compute=compute,
+            output_dtype=dtype,
+        )
     enc = encode_systematic if systematic else encode
 
     def step(key, snr_db, batch: int):
@@ -82,8 +90,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
         codeword = enc(code, message)
         llrs = awgn_llrs(knoise, codeword, snr_db, dtype)
-        decoded_u = decoder(llrs)
-        decoded = extract_systematic(code, decoded_u) if systematic else decoded_u
+        decoded = decoder(llrs)
         errs = decoded.astype(jnp.int32) * message.astype(jnp.int32) <= 0
         frame_err = jnp.any(errs, axis=-1)
         return {
@@ -101,7 +108,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
 
 
 def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
-              decoder=None):
+              decoder=None, compute=None):
     """Build the jitted Monte-Carlo step: ``step(key, snr_db, batch)``.
 
     Counters come back as int32 device scalars and are accumulated into
@@ -111,7 +118,7 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     entire waterfall sweep.
     """
     body = make_step_body(code, systematic=systematic, dtype=dtype,
-                          decoder=decoder)
+                          decoder=decoder, compute=compute)
     return jax.jit(body, static_argnums=(2,))
 
 
@@ -162,21 +169,18 @@ def run_point(
 
 
 def measure_decode_throughput(code, decode_fn, snr_db, key, batch, dtype,
-                              iters: int = 10) -> float:
+                              iters: int = 8) -> float:
     """Decode-only throughput in info bits/s (compile excluded), the analog
-    of the timed region at ``testbench.cc:170-174``."""
+    of the timed region at ``testbench.cc:170-174``. Uses the chained
+    slope method (:mod:`polar_tpu.utils.benchmark`) so async-dispatch acks
+    and remote-execute dedup cannot inflate the number."""
+    from .utils.benchmark import measure_decode_fps
+
     k1, k2 = jax.random.split(key)
     bits = jax.random.bernoulli(k1, 0.5, (batch, code.K))
     message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
     llrs = awgn_llrs(k2, encode(code, message), snr_db, dtype)
-    fn = jax.jit(decode_fn)
-    fn(llrs).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(llrs)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return batch * code.K / dt
+    return measure_decode_fps(decode_fn, llrs, iters=iters, repeats=1) * code.K
 
 
 def run_campaign(
@@ -193,6 +197,7 @@ def run_campaign(
     stop_after_clean: int = 4,
     measure_throughput: bool = True,
     verbose: bool = False,
+    compute=None,
 ) -> CampaignResult:
     """Full waterfall sweep with the reference's early-stop rule: finish
     after ``stop_after_clean`` consecutive error-free points
@@ -200,8 +205,11 @@ def run_campaign(
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
-    decoder = make_fastssc_decoder(code)
-    step = make_step(code, systematic=systematic, dtype=dtype, decoder=decoder)
+    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute)
+    decoder = make_fastssc_decoder(
+        code, output="systematic" if systematic else "u", compute=compute,
+        output_dtype=dtype,
+    )
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K, systematic=systematic)
     clean = 0

@@ -22,9 +22,22 @@ Node semantics are op-for-op those of ``polar_decoder.hh``:
 * spc             (107-127): Wagner decode — decide, parity, weakest |LLR|
                              flip, message = transform(hard)[1:]
 
-Saturation order of the int8 ops matches the reference exactly, so int8
-decodes are bit-exact against the reference decoder (verified by the
-oracle parity tests).
+TPU-first addition beyond the reference's structure: **compute modes** —
+``compute="qfloat"`` carries the exact int8 saturation semantics in
+bfloat16 (see :class:`~polar_tpu.ops.arith.QuantFloatArith`): identical
+bits, native-float VPU throughput.
+
+(A root-hard shortcut — returning the decoder's internal root hard as the
+re-encoded codeword — was deliberately NOT used for the systematic path:
+it deviates from the reference whenever zero-LLR ties or SPC even-tie
+flips occur, because the testbench's re-encode forces frozen slots to +1
+(``testbench.cc:177-183``) while the internal hard need not satisfy them.
+The systematic output therefore re-encodes the u estimate, fused into the
+same XLA program.)
+
+Saturation order matches the reference exactly, so int8(-semantics)
+decodes are bit-exact against the reference decoder (oracle parity
+tests).
 """
 
 from __future__ import annotations
@@ -33,97 +46,164 @@ import jax.numpy as jnp
 
 from ..code.compiler import Node, compile_code
 from ..code.construction import PolarCode
-from ..ops import arith
+from ..ops.arith import FloatArith, Int8Arith, QuantFloatArith, arith_for
 from ..ops.transform import polar_transform
 
 
-def _f(inp):
-    half = inp.shape[-1] // 2
-    return arith.prod(inp[..., :half], inp[..., half:])
+class _TreeDecoder:
+    """Trace-time recursion over the pruned tree."""
+
+    def __init__(self, ph):
+        self.ph = ph
+        self.mesg: list = []
+
+    # -- f/g over the two halves of a node's soft input -----------------
+    def _f(self, inp):
+        half = inp.shape[-1] // 2
+        return self.ph.prod(inp[..., :half], inp[..., half:])
+
+    def _g(self, hard_left, inp):
+        half = inp.shape[-1] // 2
+        return self.ph.madd(hard_left, inp[..., :half], inp[..., half:])
+
+    def _g_rate0(self, inp):
+        # g with an all-(+1) left half: plain saturating add without the
+        # -127 clamp, mirroring rate0_right (polar_decoder.hh:44-51).
+        half = inp.shape[-1] // 2
+        return self.ph.qadd(inp[..., :half], inp[..., half:])
+
+    # -- leaf nodes of the pruned tree ----------------------------------
+    def _rep(self, soft):
+        x = soft
+        while x.shape[-1] > 1:
+            half = x.shape[-1] // 2
+            x = self.ph.qadd(x[..., :half], x[..., half:])
+        bit = self.ph.signum(x)
+        self.mesg.append(bit)
+        return jnp.broadcast_to(bit, soft.shape)
+
+    def _spc(self, soft):
+        ph = self.ph
+        hard = ph.decide(soft)
+        parity = jnp.prod(hard, axis=-1, keepdims=True).astype(hard.dtype)
+        sabs = ph.qabs(soft)
+        weak = jnp.min(sabs, axis=-1, keepdims=True)
+        hard = ph.flip(hard, parity, weak, sabs)
+        self.mesg.append(polar_transform(hard)[..., 1:])
+        return hard
+
+    def _rate1(self, soft):
+        hard = self.ph.signum(soft)
+        self.mesg.append(polar_transform(hard))
+        return hard
+
+    # -- the recursion ---------------------------------------------------
+    def decode(self, node: Node, soft):
+        """Returns this node's hard codeword estimate; message blocks are
+        appended in emission order (in-order traversal, the msg-cursor
+        semantics of polar_decoder.hh)."""
+        kind = node.kind
+        ph = self.ph
+        if kind == "rate0":
+            return jnp.ones_like(soft)
+        if kind == "rate1":
+            return self._rate1(soft)
+        if kind == "rep":
+            return self._rep(soft)
+        if kind == "spc":
+            return self._spc(soft)
+        if kind == "rate0_right":
+            hard_r = self.decode(node.right, self._g_rate0(soft))
+            return jnp.concatenate([hard_r, hard_r], axis=-1)
+        if kind == "rate1_comb":
+            hard_l = self.decode(node.left, self._f(soft))
+            hard_r = ph.signum(self._g(hard_l, soft))
+            self.mesg.append(polar_transform(hard_r))
+            return jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r], axis=-1)
+        if kind == "branch":
+            hard_l = self.decode(node.left, self._f(soft))
+            hard_r = self.decode(node.right, self._g(hard_l, soft))
+            return jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r], axis=-1)
+        raise AssertionError(kind)  # pragma: no cover
 
 
-def _g(hard_left, inp):
-    half = inp.shape[-1] // 2
-    return arith.madd(hard_left, inp[..., :half], inp[..., half:])
+def _resolve_arith(compute, dtype):
+    if compute is None:
+        return arith_for(dtype), None
+    if isinstance(compute, str):
+        if compute == "int8":
+            return Int8Arith(), jnp.int8
+        if compute == "qfloat" or compute == "qfloat-bf16":
+            return QuantFloatArith(jnp.bfloat16), jnp.bfloat16
+        if compute == "qfloat-f32":
+            return QuantFloatArith(jnp.float32), jnp.float32
+        if compute == "float" or compute == "float32":
+            return FloatArith(jnp.float32), jnp.float32
+        if compute == "bfloat16":
+            return FloatArith(jnp.bfloat16), jnp.bfloat16
+        raise ValueError(f"unknown compute mode {compute!r}")
+    return compute, getattr(compute, "dtype", None)
 
 
-def _g_rate0(inp):
-    """g with an all-(+1) left half: plain saturating add (no -127 clamp),
-    mirroring ``rate0_right`` (``polar_decoder.hh:44-51``)."""
-    half = inp.shape[-1] // 2
-    return arith.qadd(inp[..., :half], inp[..., half:])
+def make_fastssc_decoder(
+    code: PolarCode,
+    tree: Node | None = None,
+    *,
+    output: str = "u",
+    compute=None,
+    output_dtype=None,
+):
+    """Build a jittable Fast-SSC decoder specialized for ``code``.
 
+    ``output``:
+      * ``"u"`` — (..., K) u-domain info bits (the reference decoder's
+        output, ``polar_decoder.hh:131``).
+      * ``"systematic"`` — (..., K) systematic message: the re-encoded
+        codeword estimate gathered at info positions, exactly the
+        testbench's extraction (``testbench.cc:177-183``), fused into the
+        decode program.
+      * ``"codeword"`` — (..., N) re-encoded codeword estimate.
+      * ``"both"`` — tuple ``(u, codeword)``.
 
-def _rep(soft, mesg: list):
-    x = soft
-    while x.shape[-1] > 1:
-        half = x.shape[-1] // 2
-        x = arith.qadd(x[..., :half], x[..., half:])
-    bit = arith.signum(x)
-    mesg.append(bit)
-    return jnp.broadcast_to(bit, soft.shape)
+    ``compute``: None (infer from input dtype: int8 → saturating int8,
+    float → plain min-sum), or one of ``"int8"``, ``"qfloat"`` /
+    ``"qfloat-bf16"``, ``"qfloat-f32"`` (int8 semantics in float — exact,
+    VPU-native), ``"float32"``, ``"bfloat16"``, or an arith object.
 
+    ``output_dtype``: cast hard outputs (±1/0) to this dtype (defaults to
+    the working dtype; int8 recommended with qfloat compute).
 
-def _spc(soft, mesg: list):
-    hard = arith.decide(soft)
-    parity = jnp.prod(hard, axis=-1, keepdims=True).astype(hard.dtype)
-    sabs = arith.qabs(soft)
-    weak = jnp.min(sabs, axis=-1, keepdims=True)
-    hard = arith.flip(hard, parity, weak, sabs)
-    t = polar_transform(hard)
-    mesg.append(t[..., 1:])
-    return hard
-
-
-def _rate1(soft, mesg: list):
-    hard = arith.signum(soft)
-    mesg.append(polar_transform(hard))
-    return hard
-
-
-def _decode_node(node: Node, soft, mesg: list):
-    """Returns this node's hard codeword estimate; appends message blocks
-    in emission order (in-order tree traversal, ``polar_decoder.hh`` msg
-    cursor semantics)."""
-    kind = node.kind
-    if kind == "rate0":
-        return jnp.ones_like(soft)
-    if kind == "rate1":
-        return _rate1(soft, mesg)
-    if kind == "rep":
-        return _rep(soft, mesg)
-    if kind == "spc":
-        return _spc(soft, mesg)
-    if kind == "rate0_right":
-        hard_r = _decode_node(node.right, _g_rate0(soft), mesg)
-        return jnp.concatenate([hard_r, hard_r], axis=-1)
-    if kind == "rate1_comb":
-        hard_l = _decode_node(node.left, _f(soft), mesg)
-        hard_r = arith.signum(_g(hard_l, soft))
-        mesg.append(polar_transform(hard_r))
-        return jnp.concatenate([arith.qmul(hard_l, hard_r), hard_r], axis=-1)
-    if kind == "branch":
-        hard_l = _decode_node(node.left, _f(soft), mesg)
-        hard_r = _decode_node(node.right, _g(hard_l, soft), mesg)
-        return jnp.concatenate([arith.qmul(hard_l, hard_r), hard_r], axis=-1)
-    raise AssertionError(kind)  # pragma: no cover
-
-
-def make_fastssc_decoder(code: PolarCode, tree: Node | None = None):
-    """Build a jittable decoder: LLRs (..., N) → u-domain info bits (..., K).
-
-    The returned function is pure and shape-polymorphic in the leading
-    batch dimensions. Wrap it in ``jax.jit`` (or let the BER harness do
-    so); it retraces only per distinct (N, frozen-set) — code construction
-    is per-code and amortized, exactly like the reference's one-time
-    program compilation (``testbench.cc:95-97``).
+    The returned function is pure and shape-polymorphic in leading batch
+    dimensions; it retraces only per distinct (N, frozen-set) — the
+    analog of the reference's one-time program compile
+    (``testbench.cc:95-97``).
     """
     if tree is None:
         tree = compile_code(code)
+    if output not in ("u", "systematic", "codeword", "both"):
+        raise ValueError(f"unknown output mode {output!r}")
+    info = code.info_indices
 
     def decode(llrs):
-        mesg: list = []
-        _decode_node(tree, llrs, mesg)
-        return jnp.concatenate(mesg, axis=-1)
+        from ..encode import encode as reencode
+
+        ph, work_dtype = _resolve_arith(compute, llrs.dtype)
+        x = llrs if work_dtype is None else llrs.astype(work_dtype)
+        dec = _TreeDecoder(ph)
+        dec.decode(tree, x)
+        u = jnp.concatenate(dec.mesg, axis=-1)
+        out_dtype = output_dtype or u.dtype
+
+        def cast(a):
+            return a.astype(out_dtype) if a.dtype != out_dtype else a
+
+        if output == "u":
+            return cast(u)
+        cw = reencode(code, u)
+        if output == "systematic":
+            return cast(cw[..., info])
+        if output == "codeword":
+            return cast(cw)
+        return cast(u), cast(cw)
 
     return decode

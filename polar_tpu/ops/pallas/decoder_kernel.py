@@ -1,0 +1,261 @@
+"""Pallas TPU megakernel for Fast-SSC decoding.
+
+One kernel instance decodes a tile of frames end-to-end **entirely in
+VMEM**: the soft-LLR pyramid and hard-decision stack of the reference
+decoder (``/root/reference/polar_decoder.hh:128-129`` — ``soft[2N]``,
+``hard[N]``) become VMEM scratch buffers, and the pruned-tree recursion
+runs at trace time, emitting a fully unrolled Mosaic program with only
+**static** row slices. No HBM round-trips between tree levels — the
+XLA-path decoder materializes O(#nodes) intermediates through HBM; here
+the only HBM traffic is the input LLR block and the output message block.
+
+Layout: **element-major** ``(N, frame_tile)`` — frames ride the 128-wide
+lane axis (every op uses all lanes regardless of node size), code
+elements ride sublanes. The grid is 1-D over frame tiles; blocks stream
+through the kernel with automatic double-buffered DMA.
+
+Numerics: the kernel computes in float32/bfloat16 carrying the exact
+saturating-int8 semantics (:class:`~polar_tpu.ops.arith.QuantFloatArith`
+— integers ≤ 256 are exact even in bf16), so results are bit-identical
+to the reference's int8 SIMD decoder.
+
+Every per-node operation is expressed as elementwise ops on contiguous
+row ranges plus fold-in-half recursions (rep's adder tree
+``polar_decoder.hh:94-106``, SPC's parity/min reductions ``107-127``,
+and the message transform as ``T(x) = [T(x_lo * x_hi), T(x_hi)]``) —
+no reshapes, shuffles, or gathers anywhere in the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...code.compiler import Node, compile_code
+from ...code.construction import PolarCode
+
+I8_MIN = -128.0
+I8_MAX = 127.0
+
+
+def _clip8(x):
+    return jnp.clip(x, I8_MIN, I8_MAX)
+
+
+def _sat_f(a, b):
+    """min-sum f with saturating abs: sign(a)sign(b)min(|max(a,-127)|, ...)."""
+    return jnp.sign(a) * jnp.sign(b) * jnp.minimum(
+        jnp.abs(jnp.maximum(a, -127.0)), jnp.abs(jnp.maximum(b, -127.0))
+    )
+
+
+def _sat_g(h, a, b):
+    """g: sat8(sign(h) * max(a, -127) + b)."""
+    return _clip8(jnp.sign(h) * jnp.maximum(a, -127.0) + b)
+
+
+def _sat_add(a, b):
+    return _clip8(a + b)
+
+
+def _decide(a):
+    # sign(sign(a) + 0.5): -1 for a<0 else +1. Pure arithmetic — comparison
+    # masks (i1 vectors) trip a Mosaic relayout bug under bf16 tiles.
+    return jnp.sign(jnp.sign(a) + jnp.asarray(0.5, a.dtype))
+
+
+def _transform_value(x):
+    """Polar transform of a (len, BT) hard-value array along rows.
+
+    Recursive halving form T(x) = concat(T(x_lo * x_hi), T(x_hi)) —
+    equivalent to the stage butterfly of ``polar_encoder.hh:17-26`` but
+    built only from contiguous slices.
+    """
+    n = x.shape[0]
+    if n == 1:
+        return x
+    h = n // 2
+    return jnp.concatenate(
+        [_transform_value(x[:h] * x[h:]), _transform_value(x[h:])], axis=0
+    )
+
+
+def _fold(x, op):
+    """Fold-in-half reduction along rows down to a single (1, BT) row."""
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = op(x[:h], x[h:])
+    return x
+
+
+class _KernelBuilder:
+    """Trace-time recursion writing the unrolled kernel body.
+
+    Mirrors the reference dispatcher's pointer bookkeeping
+    (``polar_decoder.hh:131-464``): ``soft`` rows ``[len, 2len)`` hold the
+    level-``len`` LLR slot (the pyramid), ``hoff`` is the hard-stack base,
+    ``moff`` the message-output cursor. All three are Python ints at trace
+    time, so every slice below is static.
+    """
+
+    def __init__(self, soft, hard, mesg):
+        self.soft = soft
+        self.hard = hard
+        self.mesg = mesg
+        self.moff = 0
+
+    # soft slot accessors: node of size `length` reads rows [length, 2*length)
+    def _soft_in(self, length):
+        return self.soft[pl.ds(length, length), :]
+
+    def _soft_halves(self, length):
+        half = length // 2
+        a = self.soft[pl.ds(length, half), :]
+        b = self.soft[pl.ds(length + half, half), :]
+        return a, b
+
+    def _write_child(self, length, val):
+        # child slot = rows [length/2, length)
+        self.soft[pl.ds(length // 2, length // 2), :] = val
+
+    def _emit(self, block):
+        rows = block.shape[0]
+        self.mesg[pl.ds(self.moff, rows), :] = block
+        self.moff += rows
+
+    def node(self, node: Node, hoff: int):
+        """Emit ops for `node`; on return, hard rows [hoff, hoff+len) hold
+        the node's codeword estimate."""
+        length = 1 << node.level
+        kind = node.kind
+        if kind == "rate0":
+            self.hard[pl.ds(hoff, length), :] = jnp.ones_like(
+                self.hard[pl.ds(hoff, length), :]
+            )
+            return
+        if kind == "rate1":
+            hard = jnp.sign(self._soft_in(length))
+            self.hard[pl.ds(hoff, length), :] = hard
+            self._emit(_transform_value(hard))
+            return
+        if kind == "rep":
+            acc = _fold(self._soft_in(length), _sat_add)
+            bit = jnp.sign(acc)
+            self._emit(bit)
+            self.hard[pl.ds(hoff, length), :] = jnp.broadcast_to(
+                bit, (length, bit.shape[1])
+            )
+            return
+        if kind == "spc":
+            soft = self._soft_in(length)
+            hard = _decide(soft)
+            parity = _fold(hard, jnp.multiply)
+            sabs = jnp.abs(jnp.maximum(soft, -127.0))
+            weak = _fold(sabs, jnp.minimum)
+            # flip ties (sabs == weak) by parity, mask-free: sabs >= weak
+            # always, so sign(sabs - weak) is 0 exactly on ties, 1 otherwise.
+            not_tie = jnp.sign(sabs - weak)
+            hard = hard * (not_tie + (1.0 - not_tie) * parity)
+            self.hard[pl.ds(hoff, length), :] = hard
+            self._emit(_transform_value(hard)[1:])
+            return
+        half = length // 2
+        if kind == "rate0_right":
+            a, b = self._soft_halves(length)
+            self._write_child(length, _sat_add(a, b))
+            self.node(node.right, hoff)
+            hr = self.hard[pl.ds(hoff, half), :]
+            self.hard[pl.ds(hoff + half, half), :] = hr
+            return
+        if kind == "rate1_comb":
+            a, b = self._soft_halves(length)
+            self._write_child(length, _sat_f(a, b))
+            self.node(node.left, hoff)
+            hl = self.hard[pl.ds(hoff, half), :]
+            hr = jnp.sign(_sat_g(hl, a, b))
+            self._emit(_transform_value(hr))
+            self.hard[pl.ds(hoff, half), :] = hl * hr
+            self.hard[pl.ds(hoff + half, half), :] = hr
+            return
+        if kind == "branch":
+            a, b = self._soft_halves(length)
+            self._write_child(length, _sat_f(a, b))
+            self.node(node.left, hoff)
+            hl = self.hard[pl.ds(hoff, half), :]
+            self._write_child(length, _sat_g(hl, a, b))
+            self.node(node.right, hoff + half)
+            hr = self.hard[pl.ds(hoff + half, half), :]
+            self.hard[pl.ds(hoff, half), :] = hl * hr
+            return
+        raise AssertionError(kind)  # pragma: no cover
+
+
+def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
+                    soft, hard):
+    soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
+    b = _KernelBuilder(soft, hard, mesg_ref)
+    b.node(tree, 0)
+
+
+def make_pallas_decoder(
+    code: PolarCode,
+    tree: Node | None = None,
+    *,
+    frame_tile: int = 256,
+    compute_dtype=jnp.float32,
+    output_dtype=jnp.int8,
+    interpret: bool = False,
+):
+    """Build the Pallas Fast-SSC decoder: LLRs ``(B, N)`` int8 → u ``(B, K)``.
+
+    ``frame_tile`` frames are decoded per grid step (multiple of 128).
+    ``B`` is padded up to a multiple of ``frame_tile`` internally.
+    Bit-exact with the reference int8 decoder (saturation semantics carried
+    in float — exact for |x| <= 256).
+    """
+    if tree is None:
+        tree = compile_code(code)
+    n, k = code.N, code.K
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+
+    kernel = functools.partial(_decoder_kernel, tree, n, compute_dtype)
+
+    def call(llr_t):  # (N, B) element-major
+        bt = frame_tile
+        grid = llr_t.shape[1] // bt
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((n, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), compute_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
+                pltpu.VMEM((n, bt), compute_dtype),      # hard stack
+            ],
+            interpret=interpret,
+        )(llr_t)
+        return out
+
+    def decode(llrs):
+        if llrs.ndim != 2:
+            raise ValueError("pallas decoder expects (batch, N) LLRs")
+        b = llrs.shape[0]
+        pad = (-b) % frame_tile
+        if pad:
+            llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
+        mesg_t = call(llrs.T)
+        out = mesg_t.T[:b]
+        return out.astype(output_dtype)
+
+    return decode

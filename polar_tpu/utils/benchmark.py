@@ -1,0 +1,66 @@
+"""Honest on-device throughput measurement.
+
+Measuring decode throughput with ``block_until_ready`` around repeated
+calls is unreliable on remote-executed backends (dispatch acks can race
+ahead of real completion, and identical execute requests may be deduped).
+The method here is robust to both:
+
+* ``iters`` decodes are chained **inside one jitted program** via
+  ``lax.fori_loop``, each iteration's input perturbed by the previous
+  iteration's output (a true data dependency — nothing can be elided,
+  hoisted, or cached);
+* completion is forced by pulling a scalar checksum to the host;
+* the reported time is the **slope** between a 1-iteration and an
+  n-iteration run, cancelling dispatch/transfer constants.
+
+This is the TPU analog of the reference's timed decode region
+(``/root/reference/testbench.cc:170-174``), hardened for remote backends.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _chained_runner(decode_fn, n_out_pad):
+    """Build runner(x, iters): fori_loop of decode with data dependency."""
+
+    def runner(x, iters):
+        def body(_, carry):
+            out = decode_fn(carry)
+            # fold the (B, K) output back into the (B, N) input: pad the
+            # message with zeros and add (int8 wraparound / float add both
+            # fine — only the data dependency matters).
+            delta = jnp.pad(out, ((0, 0), (0, n_out_pad))).astype(carry.dtype)
+            return carry + delta
+
+        y = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.sum(y.astype(jnp.int32))
+
+    return jax.jit(runner, static_argnums=(1,))
+
+
+def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
+                       repeats: int = 3) -> float:
+    """Frames/s of ``decode_fn`` on the batch ``llrs`` ((B, N) → (B, K))."""
+    b, n = llrs.shape
+    k = jax.eval_shape(decode_fn, llrs).shape[-1]  # no eager dispatch
+    runner = _chained_runner(decode_fn, n - k)
+
+    def timed(it):
+        t0 = time.perf_counter()
+        int(runner(llrs, it))  # host pull forces completion
+        return time.perf_counter() - t0
+
+    if warmup:
+        timed(1)
+        timed(iters)
+    best = float("inf")
+    for _ in range(repeats):
+        t1 = timed(1)
+        tn = timed(iters)
+        best = min(best, (tn - t1) / (iters - 1))
+    return b / best

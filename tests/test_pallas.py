@@ -1,0 +1,62 @@
+"""Pallas megakernel tests (interpreter mode on CPU).
+
+The kernel must be bit-exact with the XLA-path Fast-SSC decoder (which is
+itself bit-exact with the reference int8 SIMD decoder — test_decoders).
+Real-hardware validation runs in bench.py / verify on the TPU chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import polar_tpu as pt
+from polar_tpu.decode.fastssc import make_fastssc_decoder
+from polar_tpu.ops.pallas.decoder_kernel import make_pallas_decoder
+
+
+@pytest.mark.parametrize("m", [3, 5, 7])
+def test_pallas_matches_xla_int8(m):
+    code = pt.make_code(m, rate=0.5)
+    rng = np.random.default_rng(m)
+    llr = jnp.asarray(rng.integers(-128, 128, (256, code.N)).astype(np.int8))
+    ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
+    got = np.asarray(
+        make_pallas_decoder(code, frame_tile=128, interpret=True)(llr)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_padding():
+    code = pt.make_code(4, rate=0.5)
+    rng = np.random.default_rng(0)
+    llr = jnp.asarray(rng.integers(-128, 128, (100, code.N)).astype(np.int8))
+    ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
+    got = np.asarray(make_pallas_decoder(code, frame_tile=128, interpret=True)(llr))
+    assert got.shape == (100, code.K)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("rate", [0.25, 0.75])
+def test_pallas_other_rates(rate):
+    m = 6
+    code = pt.make_code(m, K=int(rate * (1 << m)))
+    rng = np.random.default_rng(int(rate * 10))
+    llr = jnp.asarray(rng.integers(-128, 128, (128, code.N)).astype(np.int8))
+    ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
+    got = np.asarray(make_pallas_decoder(code, frame_tile=128, interpret=True)(llr))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_saturation_edges():
+    """All-extreme LLRs exercise every clamp in the kernel."""
+    code = pt.make_code(5, rate=0.5)
+    for v in (-128, -127, 127, 0):
+        llr = jnp.full((128, code.N), v, jnp.int8)
+        ref = np.asarray(
+            jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr)
+        )
+        got = np.asarray(
+            make_pallas_decoder(code, frame_tile=128, interpret=True)(llr)
+        )
+        np.testing.assert_array_equal(got, ref)
