@@ -31,6 +31,8 @@ from .decode.sc import make_sc_decoder
 from .encode import encode, encode_systematic, extract_systematic
 from .ops.transform import polar_transform
 from .ber import CampaignResult, SnrPoint, make_step, run_campaign, run_point
+from .campaign_io import load_result, plot_waterfall, save_result
+from .ops.pallas.decoder_kernel import make_pallas_decoder
 
 __version__ = "0.1.0"
 
@@ -59,4 +61,8 @@ __all__ = [
     "run_campaign",
     "SnrPoint",
     "CampaignResult",
+    "make_pallas_decoder",
+    "save_result",
+    "load_result",
+    "plot_waterfall",
 ]

@@ -198,10 +198,17 @@ def run_campaign(
     measure_throughput: bool = True,
     verbose: bool = False,
     compute=None,
+    checkpoint_path=None,
 ) -> CampaignResult:
     """Full waterfall sweep with the reference's early-stop rule: finish
     after ``stop_after_clean`` consecutive error-free points
-    (``testbench.cc:110,198-201``)."""
+    (``testbench.cc:110,198-201``).
+
+    With ``checkpoint_path``, the result JSON is rewritten after every SNR
+    point and previously-completed points are reloaded on restart — each
+    point is a pure function of its PRNG key, so a resumed campaign is
+    identical to an uninterrupted one (SURVEY.md §5 checkpoint/resume).
+    """
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
@@ -212,16 +219,27 @@ def run_campaign(
     )
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K, systematic=systematic)
+    done: dict = {}
+    if checkpoint_path is not None:
+        from .campaign_io import load_result, save_result
+
+        prev = load_result(checkpoint_path)
+        if prev is not None and (prev.code_n, prev.code_k) == (code.N, code.K):
+            done = {round(p.snr_db, 6): p for p in prev.points}
     clean = 0
     snr = snr_range[0]
     while snr <= snr_range[1] + 1e-9 and clean < stop_after_clean:
         key, sub = jax.random.split(key)
-        point = run_point(
-            code, round(snr, 6), key=sub, step=step, systematic=systematic,
-            dtype=dtype, batch=batch, max_frames=max_frames_per_point,
-            target_bit_errors=target_bit_errors, decode_fn=decoder,
-            measure_throughput=measure_throughput,
-        )
+        snr_r = round(snr, 6)
+        if snr_r in done:
+            point = done[snr_r]
+        else:
+            point = run_point(
+                code, snr_r, key=sub, step=step, systematic=systematic,
+                dtype=dtype, batch=batch, max_frames=max_frames_per_point,
+                target_bit_errors=target_bit_errors, decode_fn=decoder,
+                measure_throughput=measure_throughput,
+            )
         result.points.append(point)
         result.peak_mbps = max(result.peak_mbps, point.info_bits_per_sec / 1e6)
         if point.bit_errors == 0:
@@ -236,5 +254,7 @@ def run_campaign(
                 f"{point.info_bits_per_sec / 1e6:.1f} {point.ebn0_db:g}",
                 flush=True,
             )
+        if checkpoint_path is not None:
+            save_result(result, checkpoint_path)
         snr += snr_step
     return result
