@@ -48,6 +48,21 @@ def test_pallas_other_rates(rate):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pallas_bf16_compute_matches_int8():
+    """bf16 compute carries int8 semantics exactly (interpret mode)."""
+    import jax.numpy as jnp
+
+    code = pt.make_code(6, rate=0.5)
+    rng = np.random.default_rng(99)
+    llr = jnp.asarray(rng.integers(-128, 128, (128, code.N)).astype(np.int8))
+    ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
+    got = np.asarray(
+        make_pallas_decoder(code, frame_tile=128, compute_dtype=jnp.bfloat16,
+                            interpret=True)(llr)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_saturation_edges():
     """All-extreme LLRs exercise every clamp in the kernel."""
     code = pt.make_code(5, rate=0.5)
