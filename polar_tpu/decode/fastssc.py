@@ -51,10 +51,17 @@ from ..ops.transform import polar_transform
 
 
 class _TreeDecoder:
-    """Trace-time recursion over the pruned tree."""
+    """Trace-time recursion over the pruned tree.
 
-    def __init__(self, ph):
+    ``subtree_kernel_for``: optional callable Node -> decode_fn used to
+    drop into a Pallas VMEM kernel for composite subtrees at or below a
+    chosen level (the hybrid decoder — XLA for the large upper levels,
+    kernel-resident pyramids below).
+    """
+
+    def __init__(self, ph, subtree_kernel_for=None):
         self.ph = ph
+        self.subtree_kernel_for = subtree_kernel_for
         self.mesg: list = []
 
     # -- f/g over the two halves of a node's soft input -----------------
@@ -104,6 +111,14 @@ class _TreeDecoder:
         semantics of polar_decoder.hh)."""
         kind = node.kind
         ph = self.ph
+        if self.subtree_kernel_for is not None and kind in (
+            "branch", "rate0_right", "rate1_comb"
+        ):
+            kernel = self.subtree_kernel_for(node)
+            if kernel is not None:
+                u, hard = kernel(soft)
+                self.mesg.append(u.astype(soft.dtype))
+                return hard.astype(soft.dtype)
         if kind == "rate0":
             return jnp.ones_like(soft)
         if kind == "rate1":
@@ -152,6 +167,10 @@ def make_fastssc_decoder(
     output: str = "u",
     compute=None,
     output_dtype=None,
+    kernel_level: int | None = None,
+    kernel_frame_tile: int = 256,
+    kernel_compute_dtype=None,
+    kernel_interpret: bool = False,
 ):
     """Build a jittable Fast-SSC decoder specialized for ``code``.
 
@@ -173,6 +192,13 @@ def make_fastssc_decoder(
     ``output_dtype``: cast hard outputs (±1/0) to this dtype (defaults to
     the working dtype; int8 recommended with qfloat compute).
 
+    ``kernel_level``: enable the hybrid decoder — composite subtrees at or
+    below this level run as Pallas VMEM megakernels (one kernel per
+    distinct frozen pattern, cached), the levels above stay in XLA. This
+    bounds kernel VMEM to one subtree's pyramid, so it scales to any N.
+    Requires 2-D ``(batch, N)`` inputs with batch a multiple of
+    ``kernel_frame_tile`` (pad the batch or use the plain decoder).
+
     The returned function is pure and shape-polymorphic in leading batch
     dimensions; it retraces only per distinct (N, frozen-set) — the
     analog of the reference's one-time program compile
@@ -184,12 +210,35 @@ def make_fastssc_decoder(
         raise ValueError(f"unknown output mode {output!r}")
     info = code.info_indices
 
+    subtree_kernel_for = None
+    if kernel_level is not None:
+        import jax.numpy as _jnp
+
+        from ..code.compiler import emit_program
+        from ..ops.pallas.decoder_kernel import make_subtree_decoder
+
+        kdtype = kernel_compute_dtype or _jnp.float32
+        cache: dict = {}
+
+        def subtree_kernel_for(node: Node):
+            if node.level > kernel_level or node.mesg_bits < 1:
+                return None
+            key = emit_program(node, node.level).tobytes()
+            if key not in cache:
+                cache[key] = make_subtree_decoder(
+                    node,
+                    frame_tile=kernel_frame_tile,
+                    compute_dtype=kdtype,
+                    interpret=kernel_interpret,
+                )
+            return cache[key]
+
     def decode(llrs):
         from ..encode import encode as reencode
 
         ph, work_dtype = _resolve_arith(compute, llrs.dtype)
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
-        dec = _TreeDecoder(ph)
+        dec = _TreeDecoder(ph, subtree_kernel_for)
         dec.decode(tree, x)
         u = jnp.concatenate(dec.mesg, axis=-1)
         out_dtype = output_dtype or u.dtype

@@ -46,13 +46,29 @@ def _decode_node(soft, frozen: np.ndarray, mesg: list) -> jnp.ndarray:
     return jnp.concatenate([arith.qmul(hard_l, hard_r), hard_r], axis=-1)
 
 
-def make_sc_decoder(code: PolarCode):
-    """Build a jittable decoder: LLRs (..., N) → u-domain info bits (..., K)."""
+def make_sc_decoder(code: PolarCode, *, output: str = "u"):
+    """Build a jittable decoder: LLRs (..., N) → u-domain info bits (..., K).
+
+    ``output`` mirrors :func:`polar_tpu.decode.fastssc.make_fastssc_decoder`:
+    ``"u"``, ``"systematic"``, ``"codeword"``, or ``"both"``.
+    """
+    if output not in ("u", "systematic", "codeword", "both"):
+        raise ValueError(f"unknown output mode {output!r}")
     frozen = np.asarray(code.frozen, dtype=np.uint8)
 
     def decode(llrs):
+        from ..encode import encode as reencode
+
         mesg: list = []
         _decode_node(llrs, frozen, mesg)
-        return jnp.concatenate(mesg, axis=-1)
+        u = jnp.concatenate(mesg, axis=-1)
+        if output == "u":
+            return u
+        cw = reencode(code, u)
+        if output == "systematic":
+            return cw[..., code.info_indices]
+        if output == "codeword":
+            return cw
+        return u, cw
 
     return decode

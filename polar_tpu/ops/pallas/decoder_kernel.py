@@ -125,7 +125,7 @@ class _KernelBuilder:
 
     def _emit(self, block):
         rows = block.shape[0]
-        self.mesg[pl.ds(self.moff, rows), :] = block
+        self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows
 
     def node(self, node: Node, hoff: int):
@@ -202,6 +202,75 @@ def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
     b.node(tree, 0)
 
 
+def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
+                    hard_ref, soft):
+    """Like _decoder_kernel, but the hard estimate is an output (needed by
+    the enclosing XLA recursion's g/combine steps)."""
+    soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
+    b = _KernelBuilder(soft, hard_ref, mesg_ref)
+    b.node(tree, 0)
+
+
+def make_subtree_decoder(
+    tree: Node,
+    *,
+    frame_tile: int = 256,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
+
+    Returns ``fn(soft (B, len)) -> (u (B, mesg_bits), hard (B, len))``
+    where ``soft`` is the node's input LLR slot. ``B`` must be a multiple
+    of ``frame_tile`` (the hybrid wrapper pads the whole batch once).
+    The enclosing XLA recursion handles levels above; this keeps VMEM
+    bounded (one subtree's pyramid, not the whole code's), so arbitrarily
+    large N decode with kernel-resident subtrees.
+    """
+    n = 1 << tree.level
+    k = tree.mesg_bits
+    if k < 1:
+        raise ValueError("kernelize only nodes that emit message bits")
+    kernel = functools.partial(_subtree_kernel, tree, n, compute_dtype)
+
+    def call(soft_t):  # (len, B) element-major
+        bt = frame_tile
+        grid = soft_t.shape[1] // bt
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((n, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((k, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((k, soft_t.shape[1]), compute_dtype),
+                jax.ShapeDtypeStruct((n, soft_t.shape[1]), compute_dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
+            ],
+            interpret=interpret,
+        )(soft_t)
+
+    def decode(soft):
+        if soft.shape[0] % frame_tile:
+            raise ValueError(
+                f"batch {soft.shape[0]} not a multiple of frame_tile "
+                f"{frame_tile} (pad the batch once at the top level)"
+            )
+        mesg_t, hard_t = call(soft.T)
+        return mesg_t.T, hard_t.T
+
+    return decode
+
+
 def make_pallas_decoder(
     code: PolarCode,
     tree: Node | None = None,
@@ -238,7 +307,7 @@ def make_pallas_decoder(
             ],
             out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), compute_dtype),
+            out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), output_dtype),
             scratch_shapes=[
                 pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
                 pltpu.VMEM((n, bt), compute_dtype),      # hard stack
@@ -255,7 +324,6 @@ def make_pallas_decoder(
         if pad:
             llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         mesg_t = call(llrs.T)
-        out = mesg_t.T[:b]
-        return out.astype(output_dtype)
+        return mesg_t.T[:b]
 
     return decode

@@ -44,8 +44,13 @@ def _chained_runner(decode_fn, n_out_pad):
 
 
 def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
-                       repeats: int = 3) -> float:
-    """Frames/s of ``decode_fn`` on the batch ``llrs`` ((B, N) → (B, K))."""
+                       repeats: int = 3, max_iters: int = 4096) -> float:
+    """Frames/s of ``decode_fn`` on the batch ``llrs`` ((B, N) → (B, K)).
+
+    If the n-iteration run isn't clearly slower than the 1-iteration run
+    (dispatch/transfer noise swamping a tiny workload), the iteration
+    count is grown geometrically until the slope is resolvable.
+    """
     b, n = llrs.shape
     k = jax.eval_shape(decode_fn, llrs).shape[-1]  # no eager dispatch
     runner = _chained_runner(decode_fn, n - k)
@@ -58,9 +63,20 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
     if warmup:
         timed(1)
         timed(iters)
-    best = float("inf")
-    for _ in range(repeats):
-        t1 = timed(1)
-        tn = timed(iters)
-        best = min(best, (tn - t1) / (iters - 1))
-    return b / best
+    while True:
+        best = float("inf")
+        for _ in range(repeats):
+            t1 = timed(1)
+            tn = timed(iters)
+            best = min(best, (tn - t1) / (iters - 1))
+        # require the chained work to dominate the per-call constant
+        if best > 0 and best * (iters - 1) > 3 * abs(t1):
+            return b / best
+        if iters >= max_iters:
+            if best <= 0:
+                raise RuntimeError(
+                    f"throughput not resolvable: slope {best:.3g}s/iter at "
+                    f"{iters} iters (workload too small vs dispatch noise)"
+                )
+            return b / best
+        iters = min(iters * 4, max_iters)
