@@ -39,24 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 from ...code.compiler import Node, compile_code
 from ...code.construction import PolarCode
 
-I8_MIN = -128.0
-I8_MAX = 127.0
+I8_MIN = -128
+I8_MAX = 127
 
 
 def _clip8(x):
-    return jnp.clip(x, I8_MIN, I8_MAX)
+    return jnp.clip(x, jnp.asarray(I8_MIN, x.dtype), jnp.asarray(I8_MAX, x.dtype))
 
 
-def _sat_f(a, b):
-    """min-sum f with saturating abs: sign(a)sign(b)min(|max(a,-127)|, ...)."""
-    return jnp.sign(a) * jnp.sign(b) * jnp.minimum(
-        jnp.abs(jnp.maximum(a, -127.0)), jnp.abs(jnp.maximum(b, -127.0))
-    )
+def _guard(x, safe: bool):
+    """qabs/madd's -128 guard: max(x, -127) — skipped when the slot
+    provably cannot contain -128 (every f-produced slot: |f| <= 127)."""
+    if safe:
+        return x
+    return jnp.maximum(x, jnp.asarray(-127, x.dtype))
 
 
-def _sat_g(h, a, b):
-    """g: sat8(sign(h) * max(a, -127) + b)."""
-    return _clip8(jnp.sign(h) * jnp.maximum(a, -127.0) + b)
+def _sat_f(a, b, ap, bp):
+    """min-sum f: sign(a)sign(b)min(qabs(a), qabs(b)).
+
+    ``sign(a*b) == sign(a)*sign(b)`` exactly (integer products <= 16384
+    are exact in f32/int16), saving one sign. ``ap``/``bp`` are the
+    -127-guarded operands, shared with g."""
+    return jnp.sign(a * b) * jnp.minimum(jnp.abs(ap), jnp.abs(bp))
+
+
+def _sat_g(h, ap, b):
+    """g: sat8(sign(h) * max(a, -127) + b).
+
+    ``h`` is a hard value in {-1, 0, +1} by construction, so ``sign(h)``
+    is ``h`` itself; ``ap`` is the pre-guarded first half."""
+    return _clip8(h * ap + b)
 
 
 def _sat_add(a, b):
@@ -64,9 +77,13 @@ def _sat_add(a, b):
 
 
 def _decide(a):
-    # sign(sign(a) + 0.5): -1 for a<0 else +1. Pure arithmetic — comparison
-    # masks (i1 vectors) trip a Mosaic relayout bug under bf16 tiles.
-    return jnp.sign(jnp.sign(a) + jnp.asarray(0.5, a.dtype))
+    # -1 for a<0 else +1, mask-free (comparison masks trip a Mosaic
+    # relayout bug under bf16 tiles): floats use sign(sign(a)+0.5),
+    # ints sign(2*sign(a)+1).
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        return jnp.sign(jnp.sign(a) + jnp.asarray(0.5, a.dtype))
+    two_s = jnp.sign(a) * jnp.asarray(2, a.dtype) + jnp.asarray(1, a.dtype)
+    return jnp.sign(two_s)
 
 
 def _transform_value(x):
@@ -128,9 +145,10 @@ class _KernelBuilder:
         self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows
 
-    def node(self, node: Node, hoff: int):
+    def node(self, node: Node, hoff: int, safe: bool):
         """Emit ops for `node`; on return, hard rows [hoff, hoff+len) hold
-        the node's codeword estimate."""
+        the node's codeword estimate. ``safe``: the node's input slot
+        provably contains no -128 (f-produced slots)."""
         length = 1 << node.level
         kind = node.kind
         if kind == "rate0":
@@ -155,12 +173,13 @@ class _KernelBuilder:
             soft = self._soft_in(length)
             hard = _decide(soft)
             parity = _fold(hard, jnp.multiply)
-            sabs = jnp.abs(jnp.maximum(soft, -127.0))
+            sabs = jnp.abs(_guard(soft, safe))
             weak = _fold(sabs, jnp.minimum)
             # flip ties (sabs == weak) by parity, mask-free: sabs >= weak
             # always, so sign(sabs - weak) is 0 exactly on ties, 1 otherwise.
             not_tie = jnp.sign(sabs - weak)
-            hard = hard * (not_tie + (1.0 - not_tie) * parity)
+            one = jnp.asarray(1, hard.dtype)
+            hard = hard * (not_tie + (one - not_tie) * parity)
             self.hard[pl.ds(hoff, length), :] = hard
             self._emit(_transform_value(hard)[1:])
             return
@@ -168,27 +187,29 @@ class _KernelBuilder:
         if kind == "rate0_right":
             a, b = self._soft_halves(length)
             self._write_child(length, _sat_add(a, b))
-            self.node(node.right, hoff)
+            self.node(node.right, hoff, safe=False)
             hr = self.hard[pl.ds(hoff, half), :]
             self.hard[pl.ds(hoff + half, half), :] = hr
             return
         if kind == "rate1_comb":
             a, b = self._soft_halves(length)
-            self._write_child(length, _sat_f(a, b))
-            self.node(node.left, hoff)
+            ap, bp = _guard(a, safe), _guard(b, safe)
+            self._write_child(length, _sat_f(a, b, ap, bp))
+            self.node(node.left, hoff, safe=True)
             hl = self.hard[pl.ds(hoff, half), :]
-            hr = jnp.sign(_sat_g(hl, a, b))
+            hr = jnp.sign(_sat_g(hl, ap, b))
             self._emit(_transform_value(hr))
             self.hard[pl.ds(hoff, half), :] = hl * hr
             self.hard[pl.ds(hoff + half, half), :] = hr
             return
         if kind == "branch":
             a, b = self._soft_halves(length)
-            self._write_child(length, _sat_f(a, b))
-            self.node(node.left, hoff)
+            ap, bp = _guard(a, safe), _guard(b, safe)
+            self._write_child(length, _sat_f(a, b, ap, bp))
+            self.node(node.left, hoff, safe=True)
             hl = self.hard[pl.ds(hoff, half), :]
-            self._write_child(length, _sat_g(hl, a, b))
-            self.node(node.right, hoff + half)
+            self._write_child(length, _sat_g(hl, ap, b))
+            self.node(node.right, hoff + half, safe=False)
             hr = self.hard[pl.ds(hoff + half, half), :]
             self.hard[pl.ds(hoff, half), :] = hl * hr
             return
@@ -199,7 +220,7 @@ def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
     soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
     b = _KernelBuilder(soft, hard, mesg_ref)
-    b.node(tree, 0)
+    b.node(tree, 0, safe=False)
 
 
 def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
@@ -208,7 +229,7 @@ def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
     the enclosing XLA recursion's g/combine steps)."""
     soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
     b = _KernelBuilder(soft, hard_ref, mesg_ref)
-    b.node(tree, 0)
+    b.node(tree, 0, safe=False)
 
 
 def make_subtree_decoder(
