@@ -25,6 +25,7 @@ from .code.construction import (
     frozen_mask_fixed_k,
     frozen_mask_threshold,
     make_code,
+    make_code_threshold,
 )
 from .decode.fastssc import make_fastssc_decoder
 from .decode.sc import make_sc_decoder
@@ -39,6 +40,7 @@ __version__ = "0.1.0"
 __all__ = [
     "PolarCode",
     "make_code",
+    "make_code_threshold",
     "frozen_mask_fixed_k",
     "frozen_mask_threshold",
     "bhattacharyya_logpe",

@@ -146,6 +146,19 @@ class PolarCode:
         return f"PolarCode(N={self.N}, K={self.K})"
 
 
+def make_code_threshold(
+    level: int,
+    erasure_probability: float = 0.5,
+    freezing_threshold: float = 0.5,
+) -> PolarCode:
+    """Threshold-mode construction (the testbench's alternate branch,
+    ``testbench.cc:78-81``): K is an output, not an input."""
+    return PolarCode(
+        level,
+        frozen_mask_threshold(level, erasure_probability, freezing_threshold),
+    )
+
+
 def make_code(
     level: int,
     K: int | None = None,

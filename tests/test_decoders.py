@@ -109,3 +109,31 @@ def test_float32_decoder_corrects_errors():
     u = jax.jit(pt.make_fastssc_decoder(code))(llr)
     got = np.sign(np.asarray(pt.extract_systematic(code, u)))
     assert (got != msg).mean() < 0.01
+
+
+def test_systematic_encode_via_decoder_ablation():
+    """The testbench's alternate systematic path (testbench.cc:134-141):
+    scatter the message into codeword positions (0 at frozen), decode that
+    as unit-magnitude LLRs, re-encode — must equal encode_systematic."""
+    rng = np.random.default_rng(77)
+    code = pt.make_code(7, rate=0.5)
+    msg = rand_pm1(rng, (16, code.K))
+    scattered = jnp.zeros((16, code.N), jnp.int8)
+    scattered = scattered.at[..., code.info_indices].set(jnp.asarray(msg))
+    u = jax.jit(pt.make_fastssc_decoder(code))(scattered)
+    via_decoder = np.asarray(pt.encode(code, u))
+    direct = np.asarray(pt.encode_systematic(code, jnp.asarray(msg)))
+    np.testing.assert_array_equal(via_decoder, direct)
+
+
+def test_threshold_code_campaign_roundtrip():
+    code = pt.make_code_threshold(6, 0.5, 0.5)
+    assert 0 < code.K < code.N
+    rng = np.random.default_rng(3)
+    msg = rand_pm1(rng, (8, code.K))
+    cw = pt.encode_systematic(code, jnp.asarray(msg))
+    llr = (cw.astype(jnp.int32) * 96).astype(jnp.int8)
+    u = jax.jit(pt.make_fastssc_decoder(code))(llr)
+    np.testing.assert_array_equal(
+        np.asarray(pt.extract_systematic(code, u)), msg
+    )
