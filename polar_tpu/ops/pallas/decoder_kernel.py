@@ -224,12 +224,15 @@ def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
 
 
 def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
-                    hard_ref, soft):
+                    hard_ref, soft, hard):
     """Like _decoder_kernel, but the hard estimate is an output (needed by
-    the enclosing XLA recursion's g/combine steps)."""
+    the enclosing XLA recursion's g/combine steps). The builder works in
+    the compute dtype scratch; outputs are stored int8 (hard values are
+    in {-1,0,1}) to minimize VMEM and HBM traffic."""
     soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
-    b = _KernelBuilder(soft, hard_ref, mesg_ref)
+    b = _KernelBuilder(soft, hard, mesg_ref)
     b.node(tree, 0, safe=False)
+    hard_ref[...] = hard[...].astype(hard_ref.dtype)
 
 
 def make_subtree_decoder(
@@ -271,11 +274,12 @@ def make_subtree_decoder(
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((k, soft_t.shape[1]), compute_dtype),
-                jax.ShapeDtypeStruct((n, soft_t.shape[1]), compute_dtype),
+                jax.ShapeDtypeStruct((k, soft_t.shape[1]), jnp.int8),
+                jax.ShapeDtypeStruct((n, soft_t.shape[1]), jnp.int8),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
+                pltpu.VMEM((n, bt), compute_dtype),      # hard stack
             ],
             interpret=interpret,
         )(soft_t)
