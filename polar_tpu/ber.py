@@ -54,6 +54,7 @@ class CampaignResult:
     points: list = field(default_factory=list)
     qef_snr_db: float = math.inf  # lowest SNR of the error-free tail
     peak_mbps: float = 0.0        # peak decode throughput, info Mbit/s
+    seed: int | None = None       # PRNG seed (checkpoint-resume guard)
 
     def table(self) -> str:
         """4-column table matching ``testbench.cc:218`` (SNR BER Mbit/s Eb/N0)."""
@@ -199,6 +200,7 @@ def run_campaign(
     verbose: bool = False,
     compute=None,
     checkpoint_path=None,
+    decoder=None,
 ) -> CampaignResult:
     """Full waterfall sweep with the reference's early-stop rule: finish
     after ``stop_after_clean`` consecutive error-free points
@@ -212,19 +214,25 @@ def run_campaign(
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
-    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute)
-    decoder = make_fastssc_decoder(
-        code, output="systematic" if systematic else "u", compute=compute,
-        output_dtype=dtype,
-    )
+    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute,
+                     decoder=decoder)
+    if decoder is None:
+        decoder = make_fastssc_decoder(
+            code, output="systematic" if systematic else "u", compute=compute,
+            output_dtype=dtype,
+        )
     key = jax.random.PRNGKey(seed)
-    result = CampaignResult(code_n=code.N, code_k=code.K, systematic=systematic)
+    result = CampaignResult(code_n=code.N, code_k=code.K,
+                            systematic=systematic, seed=seed)
     done: dict = {}
     if checkpoint_path is not None:
         from .campaign_io import load_result, save_result
 
         prev = load_result(checkpoint_path)
-        if prev is not None and (prev.code_n, prev.code_k) == (code.N, code.K):
+        if (prev is not None
+                and (prev.code_n, prev.code_k) == (code.N, code.K)
+                and prev.systematic == systematic
+                and prev.seed in (None, seed)):
             done = {round(p.snr_db, 6): p for p in prev.points}
     clean = 0
     snr = snr_range[0]

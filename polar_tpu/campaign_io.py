@@ -29,6 +29,7 @@ def result_to_dict(result: CampaignResult) -> dict:
         "code_n": result.code_n,
         "code_k": result.code_k,
         "systematic": result.systematic,
+        "seed": result.seed,
         "qef_snr_db": None if math.isinf(result.qef_snr_db) else result.qef_snr_db,
         "peak_mbps": result.peak_mbps,
         "points": [dataclasses.asdict(p) for p in result.points],
@@ -40,6 +41,7 @@ def result_from_dict(d: dict) -> CampaignResult:
         code_n=d["code_n"], code_k=d["code_k"], systematic=d["systematic"],
         qef_snr_db=math.inf if d.get("qef_snr_db") is None else d["qef_snr_db"],
         peak_mbps=d.get("peak_mbps", 0.0),
+        seed=d.get("seed"),
     )
     r.points = [SnrPoint(**p) for p in d.get("points", [])]
     return r

@@ -281,6 +281,10 @@ def make_subtree_decoder(
                 pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
                 pltpu.VMEM((n, bt), compute_dtype),      # hard stack
             ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+                if interpret else ("parallel",),
+            ),
             interpret=interpret,
         )(soft_t)
 
@@ -337,6 +341,10 @@ def make_pallas_decoder(
                 pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
                 pltpu.VMEM((n, bt), compute_dtype),      # hard stack
             ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+                if interpret else ("parallel",),
+            ),
             interpret=interpret,
         )(llr_t)
         return out
