@@ -27,6 +27,7 @@ from .code.construction import (
     make_code,
     make_code_threshold,
 )
+from .decode.auto import make_auto_decoder
 from .decode.fastssc import make_fastssc_decoder
 from .decode.sc import make_sc_decoder
 from .encode import encode, encode_systematic, extract_systematic
@@ -55,6 +56,7 @@ __all__ = [
     "extract_systematic",
     "make_sc_decoder",
     "make_fastssc_decoder",
+    "make_auto_decoder",
     "awgn_llrs",
     "noise_sigma",
     "ebn0_db",

@@ -1,0 +1,79 @@
+"""Auto-tuned decoder selection.
+
+Picks the fastest known decoder configuration for a code on the current
+backend, from the measured frontier in ``results/THROUGHPUT.md``:
+
+* small/medium N — whole-code Pallas megakernel, frame tile sized to
+  keep the soft pyramid + hard stack within VMEM;
+* large N (pyramid would exceed VMEM) — hybrid: XLA upper levels +
+  subtree kernels at level 11;
+* non-TPU backends (CPU tests, debugging) — the XLA path (Pallas
+  compiles only in interpret mode there).
+
+All variants are bit-exact; this is purely a performance choice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..code.construction import PolarCode
+from .fastssc import make_fastssc_decoder
+
+# frame tiles by log2(N), from the measured sweeps (results/THROUGHPUT.md)
+_TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256, 12: 128}
+_HYBRID_MIN_LEVEL = 13       # whole-code pyramid exceeds VMEM above this
+_HYBRID_KERNEL_LEVEL = 11
+_HYBRID_TILE = 256
+
+
+def make_auto_decoder(code: PolarCode, *, output: str = "u",
+                      output_dtype=jnp.int8, backend: str | None = None):
+    """Best-known decoder for ``code`` on ``backend`` (default: current).
+
+    Returns ``(decode_fn, description)``. For Pallas variants the batch is
+    padded internally; any batch size works.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend not in ("tpu",):
+        return (
+            make_fastssc_decoder(code, output=output, output_dtype=output_dtype),
+            "xla",
+        )
+    if code.level >= _HYBRID_MIN_LEVEL:
+        dec = make_fastssc_decoder(
+            code, output=output, output_dtype=output_dtype,
+            kernel_level=_HYBRID_KERNEL_LEVEL,
+            kernel_frame_tile=_HYBRID_TILE,
+        )
+        return dec, f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
+    tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
+    if output == "u":
+        from ..ops.pallas.decoder_kernel import make_pallas_decoder
+
+        dec = make_pallas_decoder(code, frame_tile=tile,
+                                  compute_dtype=jnp.float32,
+                                  output_dtype=output_dtype)
+        return dec, f"pallas-f32-t{tile}"
+    # non-"u" outputs need the re-encode epilogue: wrap the kernel's u
+    # output with the fused XLA re-encode (still one jitted program).
+    from ..encode import encode as reencode
+    from ..ops.pallas.decoder_kernel import make_pallas_decoder
+
+    kernel = make_pallas_decoder(code, frame_tile=tile,
+                                 compute_dtype=jnp.float32,
+                                 output_dtype=output_dtype)
+    info = code.info_indices
+
+    def decode(llrs):
+        u = kernel(llrs)
+        if output == "both":
+            return u, reencode(code, u)
+        cw = reencode(code, u)
+        if output == "systematic":
+            return cw[..., info]
+        return cw
+
+    return decode, f"pallas-f32-t{tile}+reencode"
