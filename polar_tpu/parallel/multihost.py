@@ -124,6 +124,11 @@ def main() -> int:
     ap.add_argument("--rate", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--per-device-batch", type=int, default=2048)
+    ap.add_argument("--max-global-frames", type=int, default=1 << 20)
+    ap.add_argument("--target-errors", type=int, default=1000)
+    ap.add_argument("--snr-min", type=float, default=None)
+    ap.add_argument("--snr-max", type=float, default=None)
+    ap.add_argument("--snr-step", type=float, default=0.1)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--process-id", type=int, default=None)
@@ -139,8 +144,14 @@ def main() -> int:
               f"({jax.process_count()} processes, multihost={multi})",
               file=sys.stderr)
     code = pt.make_code(args.m, rate=args.rate)
+    snr_range = None
+    if args.snr_min is not None and args.snr_max is not None:
+        snr_range = (args.snr_min, args.snr_max)
     points = run_multihost_campaign(
-        code, seed=args.seed, per_device_batch=args.per_device_batch
+        code, seed=args.seed, per_device_batch=args.per_device_batch,
+        max_global_frames=args.max_global_frames,
+        target_bit_errors=args.target_errors,
+        snr_range=snr_range, snr_step=args.snr_step,
     )
     if args.out and is_lead_host():
         import json

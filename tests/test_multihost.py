@@ -25,3 +25,30 @@ def test_run_multihost_campaign_small():
     assert len(points) >= 2
     assert points[-1]["bit_errors"] == 0
     assert points[0]["frames"] % (32 * 8) == 0
+
+
+def test_multihost_cli_main(tmp_path):
+    """End-to-end CLI run, single process, 8 virtual devices."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "pod.json"
+    env = os.environ.copy()
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "-m", "polar_tpu.parallel.multihost",
+         "--m", "5", "--per-device-batch", "16", "--out", str(out),
+         "--max-global-frames", "256", "--target-errors", "50",
+         "--snr-min", "4", "--snr-max", "8", "--snr-step", "2"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.loads(out.read_text())
+    assert data["code_n"] == 32
+    assert len(data["points"]) >= 1
