@@ -47,6 +47,18 @@ def _clip8(x):
     return jnp.clip(x, jnp.asarray(I8_MIN, x.dtype), jnp.asarray(I8_MAX, x.dtype))
 
 
+def _isign(x):
+    """sign(x) for integer-valued x: clip(x, -1, 1).
+
+    Exact because every value in the kernel is an integer (LLRs, sums,
+    products — all in [-256, 256]); cheaper than a generic sign, and it
+    avoids jnp.sign entirely (which crashes this environment's Mosaic
+    compile helper under bfloat16).
+    """
+    one = jnp.asarray(1, x.dtype)
+    return jnp.clip(x, -one, one)
+
+
 def _guard(x, safe: bool):
     """qabs/madd's -128 guard: max(x, -127) — skipped when the slot
     provably cannot contain -128 (every f-produced slot: |f| <= 127)."""
@@ -61,7 +73,7 @@ def _sat_f(a, b, ap, bp):
     ``sign(a*b) == sign(a)*sign(b)`` exactly (integer products <= 16384
     are exact in f32/int16), saving one sign. ``ap``/``bp`` are the
     -127-guarded operands, shared with g."""
-    return jnp.sign(a * b) * jnp.minimum(jnp.abs(ap), jnp.abs(bp))
+    return _isign(a * b) * jnp.minimum(jnp.abs(ap), jnp.abs(bp))
 
 
 def _sat_g(h, ap, b):
@@ -77,13 +89,9 @@ def _sat_add(a, b):
 
 
 def _decide(a):
-    # -1 for a<0 else +1, mask-free (comparison masks trip a Mosaic
-    # relayout bug under bf16 tiles): floats use sign(sign(a)+0.5),
-    # ints sign(2*sign(a)+1).
-    if jnp.issubdtype(a.dtype, jnp.floating):
-        return jnp.sign(jnp.sign(a) + jnp.asarray(0.5, a.dtype))
-    two_s = jnp.sign(a) * jnp.asarray(2, a.dtype) + jnp.asarray(1, a.dtype)
-    return jnp.sign(two_s)
+    # -1 for a<0 else +1 for integer-valued a, mask- and sign-free:
+    # clip(2a+1, -1, 1) (a>=0 -> 2a+1>=1 -> +1; a<=-1 -> 2a+1<=-1 -> -1).
+    return _isign(a + a + jnp.asarray(1, a.dtype))
 
 
 def _transform_value(x):
@@ -157,13 +165,13 @@ class _KernelBuilder:
             )
             return
         if kind == "rate1":
-            hard = jnp.sign(self._soft_in(length))
+            hard = _isign(self._soft_in(length))
             self.hard[pl.ds(hoff, length), :] = hard
             self._emit(_transform_value(hard))
             return
         if kind == "rep":
             acc = _fold(self._soft_in(length), _sat_add)
-            bit = jnp.sign(acc)
+            bit = _isign(acc)
             self._emit(bit)
             self.hard[pl.ds(hoff, length), :] = jnp.broadcast_to(
                 bit, (length, bit.shape[1])
@@ -175,9 +183,10 @@ class _KernelBuilder:
             parity = _fold(hard, jnp.multiply)
             sabs = jnp.abs(_guard(soft, safe))
             weak = _fold(sabs, jnp.minimum)
-            # flip ties (sabs == weak) by parity, mask-free: sabs >= weak
-            # always, so sign(sabs - weak) is 0 exactly on ties, 1 otherwise.
-            not_tie = jnp.sign(sabs - weak)
+            # flip ties (sabs == weak) by parity, mask-free: sabs - weak is
+            # a non-negative integer, so min(sabs - weak, 1) is 0 exactly
+            # on ties and 1 otherwise.
+            not_tie = jnp.minimum(sabs - weak, jnp.asarray(1, sabs.dtype))
             one = jnp.asarray(1, hard.dtype)
             hard = hard * (not_tie + (one - not_tie) * parity)
             self.hard[pl.ds(hoff, length), :] = hard
@@ -197,7 +206,7 @@ class _KernelBuilder:
             self._write_child(length, _sat_f(a, b, ap, bp))
             self.node(node.left, hoff, safe=True)
             hl = self.hard[pl.ds(hoff, half), :]
-            hr = jnp.sign(_sat_g(hl, ap, b))
+            hr = _isign(_sat_g(hl, ap, b))
             self._emit(_transform_value(hr))
             self.hard[pl.ds(hoff, half), :] = hl * hr
             self.hard[pl.ds(hoff + half, half), :] = hr
