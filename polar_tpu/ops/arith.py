@@ -79,6 +79,10 @@ class Int8Arith(_ArithBase):
     def _sat8(x16):
         return jnp.clip(x16, I8_MIN, I8_MAX).astype(jnp.int8)
 
+    def signum(self, a):
+        # sign == clip(x, -1, 1) on integers; cheaper than a generic sign
+        return jnp.clip(a, jnp.asarray(-1, a.dtype), jnp.asarray(1, a.dtype))
+
     def decide(self, a):
         """+1 for a >= 0 else -1 (``polar_helper.hh:129-132``)."""
         return jnp.where(a < 0, jnp.asarray(-1, a.dtype), jnp.asarray(1, a.dtype))
@@ -145,6 +149,10 @@ class QuantFloatArith(_ArithBase):
 
     def __init__(self, dtype=jnp.bfloat16):
         self.dtype = jnp.dtype(dtype)
+
+    def signum(self, a):
+        # values are integer-valued floats: sign == clip(x, -1, 1)
+        return jnp.clip(a, jnp.asarray(-1, a.dtype), jnp.asarray(1, a.dtype))
 
     def decide(self, a):
         return jnp.where(a < 0, jnp.asarray(-1, a.dtype), jnp.asarray(1, a.dtype))
