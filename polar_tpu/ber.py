@@ -77,12 +77,24 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     with the reference's extraction (``testbench.cc:177-183``).
     """
     if decoder is None:
-        decoder = make_fastssc_decoder(
-            code,
-            output="systematic" if systematic else "u",
-            compute=compute,
-            output_dtype=dtype,
-        )
+        if compute is None and jnp.dtype(dtype) == jnp.int8:
+            # champion decoder for the current backend (pallas/hybrid on
+            # TPU, XLA path elsewhere) — bit-exact across all variants.
+            # Only for int8 LLRs: the kernels' integer-exact arithmetic
+            # (clip-based sign etc.) requires integer-valued inputs.
+            from .decode.auto import make_auto_decoder
+
+            decoder, _ = make_auto_decoder(
+                code, output="systematic" if systematic else "u",
+                output_dtype=dtype,
+            )
+        else:
+            decoder = make_fastssc_decoder(
+                code,
+                output="systematic" if systematic else "u",
+                compute=compute,
+                output_dtype=dtype,
+            )
     enc = encode_systematic if systematic else encode
 
     def step(key, snr_db, batch: int):
@@ -217,10 +229,18 @@ def run_campaign(
     step = make_step(code, systematic=systematic, dtype=dtype, compute=compute,
                      decoder=decoder)
     if decoder is None:
-        decoder = make_fastssc_decoder(
-            code, output="systematic" if systematic else "u", compute=compute,
-            output_dtype=dtype,
-        )
+        if compute is None and jnp.dtype(dtype) == jnp.int8:
+            from .decode.auto import make_auto_decoder
+
+            decoder, _ = make_auto_decoder(
+                code, output="systematic" if systematic else "u",
+                output_dtype=dtype,
+            )
+        else:
+            decoder = make_fastssc_decoder(
+                code, output="systematic" if systematic else "u",
+                compute=compute, output_dtype=dtype,
+            )
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K,
                             systematic=systematic, seed=seed)

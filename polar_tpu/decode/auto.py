@@ -34,6 +34,10 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
 
     Returns ``(decode_fn, description)``. For Pallas variants the batch is
     padded internally; any batch size works.
+
+    Contract: inputs are int8 (or integer-valued) LLRs — the kernels'
+    integer-exact arithmetic (clip-based sign) requires it. For real-valued
+    float LLRs use :func:`make_fastssc_decoder` (the float min-sum path).
     """
     if backend is None:
         backend = jax.default_backend()
