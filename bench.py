@@ -32,6 +32,9 @@ def main() -> None:
 
     import polar_tpu as pt
     from polar_tpu.utils.benchmark import measure_decode_fps
+    from polar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     code = pt.make_code(10, rate=0.5)
     batch = 32768

@@ -51,6 +51,9 @@ def main() -> int:
 
     import polar_tpu as pt
     from polar_tpu.utils.benchmark import measure_decode_fps
+    from polar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     rng = np.random.default_rng(5)
     for m in args.ms:

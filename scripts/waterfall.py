@@ -47,6 +47,9 @@ def main() -> int:
 
     import jax
 
+    from polar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
