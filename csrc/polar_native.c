@@ -4,10 +4,12 @@
  * roles of the reference's polar_freezer.hh / polar_compiler.hh but
  * redesigned for the TPU framework:
  *
- *  - Bhattacharyya bit-channel evolution in log-domain double precision
- *    (the reference's linear long-double recursion underflows to exact 0
- *    around level 14, degenerating its ranking to arbitrary ties;
- *    log-domain stays finite to level 60+).
+ *  - Bhattacharyya bit-channel evolution in DUAL log-domain double
+ *    precision — log(pe) and log(1-pe) evolved jointly (the reference's
+ *    linear long-double recursion underflows to exact 0 near pe->0 and
+ *    saturates to exactly 1 near pe->1, degenerating its ranking to
+ *    arbitrary ties; each log domain is exact where the other
+ *    saturates, keeping the ranking total in both tails).
  *  - Fixed-K selection (argsort with stable index tie-break) and
  *    threshold freezing.
  *  - Frozen-mask -> Fast-SSC byte-program compilation (same opcodes and
@@ -32,37 +34,58 @@
 /* Bhattacharyya log-domain evolution                                  */
 /* ------------------------------------------------------------------ */
 
-/* Fill logpe[0..2^level) with log erasure probabilities, natural leaf
- * order (left child = pe*(2-pe) owns the first half of each block). */
-static void bhatt_logpe(int level, double log_pe0, double *logpe)
+/* Fill lp[0..2^level) = log(pe) and lq[0..2^level) = log(1-pe), natural
+ * leaf order (left child = pe*(2-pe) owns the first half of each block).
+ * Dual-domain evolution: left lq' = 2*lq (exact near pe->1), right
+ * lp' = 2*lp (exact near pe->0). lq may be NULL when only lp is needed. */
+static void bhatt_logpe(int level, double log_pe0, double log_q0,
+                        double *lp, double *lq)
 {
-	logpe[0] = log_pe0;
+	lp[0] = log_pe0;
+	if (lq)
+		lq[0] = log_q0;
 	for (int l = 0; l < level; ++l) {
 		int n = 1 << l;
 		/* expand in place from the back so children don't clobber
 		 * unread parents */
 		for (int i = n - 1; i >= 0; --i) {
-			double lp = logpe[i];
-			/* for lp < -40, log1p(-exp(lp)/2) == 0 at double
-			 * precision; skip the (slow, underflowing) exp */
-			double left = (lp < -40.0)
-				? lp + M_LN2
-				: lp + M_LN2 + log1p(-0.5 * exp(lp));
-			double right = 2.0 * lp;
-			logpe[2 * i] = left;
-			logpe[2 * i + 1] = right;
+			double p = lp[i];
+			double left, right = 2.0 * p;
+			if (p < -40.0) {
+				/* log1p(-exp(p)/2) == 0 at double precision */
+				left = p + M_LN2;
+			} else if (lq) {
+				double q = lq[i];
+				/* log(2-pe) = log1p(1-pe); prefer the exact
+				 * domain when pe is large */
+				left = (p < -M_LN2)
+					? p + M_LN2 + log1p(-0.5 * exp(p))
+					: p + log1p(exp(q));
+			} else {
+				left = p + M_LN2 + log1p(-0.5 * exp(p));
+			}
+			lp[2 * i] = left;
+			lp[2 * i + 1] = right;
+			if (lq) {
+				double q = lq[i];
+				lq[2 * i] = 2.0 * q;
+				lq[2 * i + 1] = q + log1p(exp(p));
+			}
 		}
 	}
 }
 
-/* argsort helper: sort indices by (logpe asc, index asc) */
-typedef struct { double v; uint32_t i; } kv_t;
+/* argsort helper: sort indices by (lp asc, lq desc, index asc) — the
+ * lq tie-break resolves channels whose lp saturated at 0 (pe -> 1) */
+typedef struct { double v; double q; uint32_t i; } kv_t;
 
 static int kv_cmp(const void *a, const void *b)
 {
 	const kv_t *x = (const kv_t *)a, *y = (const kv_t *)b;
 	if (x->v < y->v) return -1;
 	if (x->v > y->v) return 1;
+	if (x->q > y->q) return -1;
+	if (x->q < y->q) return 1;
 	return (x->i < y->i) ? -1 : (x->i > y->i);
 }
 
@@ -187,7 +210,7 @@ static PyObject *py_bhatt_logpe(PyObject *self, PyObject *args)
 		return NULL;
 	double *buf = (double *)PyBytes_AS_STRING(bytes);
 	Py_BEGIN_ALLOW_THREADS
-	bhatt_logpe(level, log(pe), buf);
+	bhatt_logpe(level, log(pe), log1p(-pe), buf, NULL);
 	Py_END_ALLOW_THREADS
 	return bytes;
 }
@@ -210,19 +233,22 @@ static PyObject *py_frozen_fixed_k(PyObject *self, PyObject *args)
 		return NULL;
 	}
 	double *logpe = (double *)malloc((size_t)n * sizeof(double));
+	double *logq = (double *)malloc((size_t)n * sizeof(double));
 	kv_t *kv = (kv_t *)malloc((size_t)n * sizeof(kv_t));
 	PyObject *bytes = PyBytes_FromStringAndSize(NULL, n);
-	if (!logpe || !kv || !bytes) {
+	if (!logpe || !logq || !kv || !bytes) {
 		free(logpe);
+		free(logq);
 		free(kv);
 		Py_XDECREF(bytes);
 		return PyErr_NoMemory();
 	}
 	uint8_t *mask = (uint8_t *)PyBytes_AS_STRING(bytes);
 	Py_BEGIN_ALLOW_THREADS
-	bhatt_logpe(level, log(pe), logpe);
+	bhatt_logpe(level, log(pe), log1p(-pe), logpe, logq);
 	for (int64_t i = 0; i < n; ++i) {
 		kv[i].v = logpe[i];
+		kv[i].q = logq[i];
 		kv[i].i = (uint32_t)i;
 	}
 	qsort(kv, (size_t)n, sizeof(kv_t), kv_cmp);
@@ -231,6 +257,7 @@ static PyObject *py_frozen_fixed_k(PyObject *self, PyObject *args)
 		mask[kv[i].i] = 0;
 	Py_END_ALLOW_THREADS
 	free(logpe);
+	free(logq);
 	free(kv);
 	return bytes;
 }
@@ -257,7 +284,7 @@ static PyObject *py_frozen_threshold(PyObject *self, PyObject *args)
 	uint8_t *mask = (uint8_t *)PyBytes_AS_STRING(bytes);
 	double log_th = log(th);
 	Py_BEGIN_ALLOW_THREADS
-	bhatt_logpe(level, log(pe), logpe);
+	bhatt_logpe(level, log(pe), log1p(-pe), logpe, NULL);
 	for (int64_t i = 0; i < n; ++i)
 		mask[i] = logpe[i] > log_th;
 	Py_END_ALLOW_THREADS

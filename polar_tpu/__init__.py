@@ -19,6 +19,7 @@ from .channel import awgn_llrs, ebn0_db, noise_sigma
 from .code.compiler import Node, compile_code, compile_program
 from .code.construction import (
     PolarCode,
+    bhattacharyya_dual,
     bhattacharyya_logpe,
     design_snr_db,
     erasure_probability_for_snr_db,
@@ -45,6 +46,7 @@ __all__ = [
     "frozen_mask_fixed_k",
     "frozen_mask_threshold",
     "bhattacharyya_logpe",
+    "bhattacharyya_dual",
     "design_snr_db",
     "erasure_probability_for_snr_db",
     "Node",

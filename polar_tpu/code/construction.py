@@ -14,12 +14,14 @@ level, the left child sees ``pe*(2-pe)`` and the right child ``pe**2``
 
 TPU-first/accuracy note: the reference evolves probabilities in linear
 ``long double`` space, which underflows to 0 around level 14+ for typical
-design points, producing arbitrary tie-breaks in ``std::nth_element``.
-We evolve **log-probabilities in float64** instead: ``log pe`` supports
-exponents far beyond any practical N (values like -1e6 are exact to ~1e-10
-relative), so rankings stay total and deterministic. Selection tie-breaks
-are stable by leaf index. Construction runs vectorized in numpy on the
-host — it is per-code, amortized over every encode/decode that follows.
+design points (and saturates to exactly 1 near pe→1 for high-rate
+codes), producing arbitrary tie-breaks in ``std::nth_element``. We
+evolve **both log(pe) and log(1-pe) in float64**
+(:func:`bhattacharyya_dual`): each domain is exact where the other
+saturates, so rankings stay total and deterministic in both tails.
+Selection tie-breaks are stable by leaf index. Construction runs
+vectorized in numpy on the host — per-code, amortized over every
+encode/decode that follows.
 """
 
 from __future__ import annotations
@@ -30,28 +32,59 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
-def bhattacharyya_logpe(level: int, erasure_probability: float = math.exp(-1.0)) -> np.ndarray:
-    """Log erasure probability of every bit channel after ``level`` splits.
+def bhattacharyya_dual(level: int, erasure_probability: float = math.exp(-1.0)):
+    """(log pe, log(1-pe)) of every bit channel after ``level`` splits.
 
-    Returns a float64 array of shape (2**level,), where entry i is
-    ``log pe`` of leaf i in natural (decoder) order. The recursion of
-    ``polar_freezer.hh:37-45`` is unrolled breadth-first and vectorized:
-    at each level the left-half children get ``log(pe*(2-pe))`` and the
-    right-half children ``log(pe**2)``.
+    The erasure recursion (``polar_freezer.hh:16-18``) is evolved in BOTH
+    log domains simultaneously:
+
+    * left child:  pe' = pe(2-pe)  ⇔  (1-pe') = (1-pe)^2
+      → lp' = lp + log(2-pe)  (stable via log1p for tiny pe);
+        lq' = 2·lq            (EXACT — no precision loss near pe→1)
+    * right child: pe' = pe^2      ⇔  (1-pe') = (1-pe)(1+pe)
+      → lp' = 2·lp            (exact near pe→0);
+        lq' = lq + log1p(pe)
+
+    Each domain is exact precisely where the other saturates, so channel
+    ordering stays resolvable in both tails — unlike the reference's
+    linear long double (underflows to 0 near pe→0 around level 14) or a
+    single log-pe domain (collapses to 0 near pe→1 for high-rate
+    constructions). Returns two float64 arrays in natural leaf order.
     """
     if not (0.0 < erasure_probability < 1.0):
         raise ValueError("erasure_probability must be in (0, 1)")
-    logpe = np.array([math.log(erasure_probability)], dtype=np.float64)
+    lp = np.array([math.log(erasure_probability)], dtype=np.float64)
+    lq = np.array([math.log1p(-erasure_probability)], dtype=np.float64)
     for _ in range(level):
-        # log(pe*(2-pe)) = log(pe) + log(2) + log1p(-pe/2), stable for tiny pe.
-        pe = np.exp(logpe)
-        left = logpe + math.log(2.0) + np.log1p(-0.5 * pe)
-        right = 2.0 * logpe
+        pe = np.exp(lp)
+        # lp_left = log(pe(2-pe)) = log1p(-(1-pe)^2) = log1p(-exp(2 lq)).
+        # For pe < 1/2 the direct form lp + log(2) + log1p(-pe/2) is the
+        # well-conditioned one; for pe >= 1/2 the identity via lq is —
+        # adding log(2-pe) to lp there cancels catastrophically as pe→1
+        # (it can even produce positive "log-probabilities").
+        with np.errstate(divide="ignore"):
+            via_lq = np.log1p(-np.exp(2.0 * lq))
+        left_lp = np.where(
+            pe < 0.5, lp + math.log(2.0) + np.log1p(-0.5 * pe), via_lq
+        )
+        left_lq = 2.0 * lq
+        right_lp = 2.0 * lp
+        right_lq = lq + np.log1p(pe)
         # Node j owns a contiguous leaf block; its left child owns the first
         # half, the right child the second (``polar_freezer.hh:16-18``), so
         # breadth-first the children of consecutive nodes are [l0,r0,l1,r1,...].
-        logpe = np.stack([left, right], axis=1).reshape(-1)
-    return logpe
+        lp = np.stack([left_lp, right_lp], axis=1).reshape(-1)
+        lq = np.stack([left_lq, right_lq], axis=1).reshape(-1)
+    return lp, lq
+
+
+def bhattacharyya_logpe(level: int, erasure_probability: float = math.exp(-1.0)) -> np.ndarray:
+    """Log erasure probability of every bit channel after ``level`` splits.
+
+    Returns a float64 array of shape (2**level,), entry i = ``log pe`` of
+    leaf i in natural (decoder) order. See :func:`bhattacharyya_dual`.
+    """
+    return bhattacharyya_dual(level, erasure_probability)[0]
 
 
 def frozen_mask_fixed_k(
@@ -66,8 +99,11 @@ def frozen_mask_fixed_k(
     n = 1 << level
     if not (0 <= K <= n):
         raise ValueError(f"K={K} out of range for N={n}")
-    logpe = bhattacharyya_logpe(level, erasure_probability)
-    order = np.argsort(logpe, kind="stable")
+    lp, lq = bhattacharyya_dual(level, erasure_probability)
+    # primary: pe ascending (lp); where lp saturates at 0 (pe → 1),
+    # resolve by 1-pe descending (lq descending) — the domain that stays
+    # exact there; final tie-break: leaf index (deterministic).
+    order = np.lexsort((np.arange(n), -lq, lp))
     frozen = np.ones(n, dtype=np.uint8)
     frozen[order[:K]] = 0
     return frozen

@@ -1,0 +1,87 @@
+"""Seeded randomized parity fuzz vs the reference oracle.
+
+Construction parity is asserted whenever the selection boundary is
+resolvable (the k-th best channel has pe strictly below 1 at double
+precision). For very-high-rate codes on bad channels the boundary lands
+among channels whose erasure probability saturated to exactly 1 — there
+the reference's long double ties arbitrarily in ``nth_element`` while
+our dual-domain construction (log pe + log(1-pe)) stays totally
+ordered, so masks legitimately differ on those ties (the testbench's own
+designs never get near this regime, ``testbench.cc:74-90``).
+Decode/program parity is asserted for EVERY mask (both sides use the
+same mask, so it fuzzes the full numeric chain).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import polar_tpu as pt
+from polar_tpu.decode.fastssc import make_fastssc_decoder
+import oracle
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_parity(seed):
+    rng = np.random.default_rng(1000 + seed)
+    w = oracle.width()
+    for it in range(12):
+        m = int(rng.integers(2, 10))
+        n = 1 << m
+        pe = float(rng.uniform(0.05, 0.6))
+        k = int(rng.integers(1, n))
+        # mask parity is only expected when the selection boundary is
+        # resolvable: if the k-th best channel has saturated to pe ≈ 1,
+        # the reference's long double ties arbitrarily there (ours stays
+        # ordered via the log(1-pe) domain) — see module docstring. (Its
+        # arbitrary-tie masks can even violate the reliability partial
+        # order, which neither compiler accepts.)
+        mask = pt.frozen_mask_fixed_k(m, k, pe)
+        lp, lq = pt.bhattacharyya_dual(m, pe)
+        order = np.lexsort((np.arange(n), -lq, lp))
+        boundary_resolvable = lp[order[k - 1]] < -1e-9
+        if boundary_resolvable:
+            np.testing.assert_array_equal(
+                mask, oracle.freezek(m, k, pe),
+                err_msg=f"mask m={m} k={k} pe={pe}",
+            )
+        code = pt.PolarCode(m, mask)
+        if code.K == 0:
+            continue
+        np.testing.assert_array_equal(
+            pt.compile_program(code), oracle.progcompile(m, mask),
+            err_msg=f"program m={m} k={k}",
+        )
+        dec = jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))
+        pattern = it % 4
+        if pattern == 0:
+            llr = rng.integers(-128, 128, (w, n)).astype(np.int8)
+        elif pattern == 1:
+            llr = rng.choice(np.array([-128, -127, 0, 127], np.int8), (w, n))
+        elif pattern == 2:
+            llr = rng.integers(-2, 3, (w, n)).astype(np.int8)
+        else:
+            llr = np.full((w, n), -128, np.int8)
+            llr[:, ::2] = 127
+        np.testing.assert_array_equal(
+            np.asarray(dec(jnp.asarray(llr))), oracle.decode(m, mask, llr),
+            err_msg=f"decode m={m} k={code.K} pattern={pattern}",
+        )
+
+
+def test_high_rate_construction_deterministic():
+    """For pe → 1 the reference saturates and ties arbitrarily; ours must
+    at least be deterministic, self-consistent, and respect the partial
+    order (right child at least as reliable as left)."""
+    for pe, m, k in ((0.9, 9, 361), (0.78, 10, 896), (0.9, 8, 202)):
+        a = pt.frozen_mask_fixed_k(m, k, pe)
+        b = pt.frozen_mask_fixed_k(m, k, pe)
+        np.testing.assert_array_equal(a, b)
+        assert int((a == 0).sum()) == k
+        lp, lq = pt.bhattacharyya_dual(m, pe)
+        # selected info channels are exactly the K best by (lp, -lq)
+        order = np.lexsort((np.arange(1 << m), -lq, lp))
+        expect = np.ones(1 << m, np.uint8)
+        expect[order[:k]] = 0
+        np.testing.assert_array_equal(a, expect)

@@ -45,8 +45,9 @@ def test_native_logpe_matches_numpy():
     for m in (4, 10, 15):
         a = native.bhattacharyya_logpe(m, 0.37)
         b = pt.bhattacharyya_logpe(m, 0.37)
-        # atol for the leftmost leaves where log pe → 0⁻ (|values| ~ 1e-14)
-        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+        # rtol: ±1-ulp formula differences double per level (~3e-16
+        # relative at level 15); atol: leftmost leaves where log pe → 0⁻
+        np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-12)
 
 
 def test_native_large_n():
