@@ -46,7 +46,6 @@ def element_mesh(devices=None, axis: str = SEQ_AXIS) -> Mesh:
 def _sharded_transform_local(x, axis: str, n_shards: int):
     """Per-shard body: x is (..., S) — this device's contiguous slice of a
     (..., N = n_shards * S) array. Must run under shard_map."""
-    s = x.shape[-1]
     # stages h = 1 .. S/2: fully local
     x = polar_transform(x)
     # stages h = S, 2S, ... N/2: one ppermute per stage
