@@ -128,25 +128,38 @@ class _KernelBuilder:
     time, so every slice below is static.
     """
 
-    def __init__(self, soft, hard, mesg):
+    def __init__(self, soft, hard, mesg, compute_dtype=None):
         self.soft = soft
         self.hard = hard
         self.mesg = mesg
         self.moff = 0
+        # storage dtype may differ from compute dtype (e.g. int8 scratch
+        # halves VMEM so whole-code pyramids fit at larger N); values are
+        # converted at every ref read/write. All stored values are int8-
+        # representable by construction, so this is lossless.
+        self.cdtype = compute_dtype or soft.dtype
+
+    def _ld(self, v):
+        return v.astype(self.cdtype) if v.dtype != self.cdtype else v
+
+    def _st(self, v, ref_dtype):
+        return v.astype(ref_dtype) if v.dtype != ref_dtype else v
 
     # soft slot accessors: node of size `length` reads rows [length, 2*length)
     def _soft_in(self, length):
-        return self.soft[pl.ds(length, length), :]
+        return self._ld(self.soft[pl.ds(length, length), :])
 
     def _soft_halves(self, length):
         half = length // 2
-        a = self.soft[pl.ds(length, half), :]
-        b = self.soft[pl.ds(length + half, half), :]
+        a = self._ld(self.soft[pl.ds(length, half), :])
+        b = self._ld(self.soft[pl.ds(length + half, half), :])
         return a, b
 
     def _write_child(self, length, val):
         # child slot = rows [length/2, length)
-        self.soft[pl.ds(length // 2, length // 2), :] = val
+        self.soft[pl.ds(length // 2, length // 2), :] = self._st(
+            val, self.soft.dtype
+        )
 
     def _emit(self, block):
         rows = block.shape[0]
@@ -166,7 +179,7 @@ class _KernelBuilder:
             return
         if kind == "rate1":
             hard = _isign(self._soft_in(length))
-            self.hard[pl.ds(hoff, length), :] = hard
+            self.hard[pl.ds(hoff, length), :] = self._st(hard, self.hard.dtype)
             self._emit(_transform_value(hard))
             return
         if kind == "rep":
@@ -174,7 +187,7 @@ class _KernelBuilder:
             bit = _isign(acc)
             self._emit(bit)
             self.hard[pl.ds(hoff, length), :] = jnp.broadcast_to(
-                bit, (length, bit.shape[1])
+                self._st(bit, self.hard.dtype), (length, bit.shape[1])
             )
             return
         if kind == "spc":
@@ -189,7 +202,7 @@ class _KernelBuilder:
             not_tie = jnp.minimum(sabs - weak, jnp.asarray(1, sabs.dtype))
             one = jnp.asarray(1, hard.dtype)
             hard = hard * (not_tie + (one - not_tie) * parity)
-            self.hard[pl.ds(hoff, length), :] = hard
+            self.hard[pl.ds(hoff, length), :] = self._st(hard, self.hard.dtype)
             self._emit(_transform_value(hard)[1:])
             return
         half = length // 2
@@ -205,30 +218,32 @@ class _KernelBuilder:
             ap, bp = _guard(a, safe), _guard(b, safe)
             self._write_child(length, _sat_f(a, b, ap, bp))
             self.node(node.left, hoff, safe=True)
-            hl = self.hard[pl.ds(hoff, half), :]
+            hl = self._ld(self.hard[pl.ds(hoff, half), :])
             hr = _isign(_sat_g(hl, ap, b))
             self._emit(_transform_value(hr))
-            self.hard[pl.ds(hoff, half), :] = hl * hr
-            self.hard[pl.ds(hoff + half, half), :] = hr
+            self.hard[pl.ds(hoff, half), :] = self._st(hl * hr, self.hard.dtype)
+            self.hard[pl.ds(hoff + half, half), :] = self._st(
+                hr, self.hard.dtype
+            )
             return
         if kind == "branch":
             a, b = self._soft_halves(length)
             ap, bp = _guard(a, safe), _guard(b, safe)
             self._write_child(length, _sat_f(a, b, ap, bp))
             self.node(node.left, hoff, safe=True)
-            hl = self.hard[pl.ds(hoff, half), :]
+            hl = self._ld(self.hard[pl.ds(hoff, half), :])
             self._write_child(length, _sat_g(hl, ap, b))
             self.node(node.right, hoff + half, safe=False)
-            hr = self.hard[pl.ds(hoff + half, half), :]
-            self.hard[pl.ds(hoff, half), :] = hl * hr
+            hr = self._ld(self.hard[pl.ds(hoff + half, half), :])
+            self.hard[pl.ds(hoff, half), :] = self._st(hl * hr, self.hard.dtype)
             return
         raise AssertionError(kind)  # pragma: no cover
 
 
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
-    soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
-    b = _KernelBuilder(soft, hard, mesg_ref)
+    soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
+    b = _KernelBuilder(soft, hard, mesg_ref, compute_dtype)
     b.node(tree, 0, safe=False)
 
 
@@ -238,8 +253,8 @@ def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
     the enclosing XLA recursion's g/combine steps). The builder works in
     the compute dtype scratch; outputs are stored int8 (hard values are
     in {-1,0,1}) to minimize VMEM and HBM traffic."""
-    soft[pl.ds(n, n), :] = llr_ref[...].astype(compute_dtype)
-    b = _KernelBuilder(soft, hard, mesg_ref)
+    soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
+    b = _KernelBuilder(soft, hard, mesg_ref, compute_dtype)
     b.node(tree, 0, safe=False)
     hard_ref[...] = hard[...].astype(hard_ref.dtype)
 
@@ -315,6 +330,7 @@ def make_pallas_decoder(
     *,
     frame_tile: int = 256,
     compute_dtype=jnp.float32,
+    storage_dtype=None,
     output_dtype=jnp.int8,
     interpret: bool = False,
 ):
@@ -324,12 +340,18 @@ def make_pallas_decoder(
     ``B`` is padded up to a multiple of ``frame_tile`` internally.
     Bit-exact with the reference int8 decoder (saturation semantics carried
     in float — exact for |x| <= 256).
+
+    ``storage_dtype`` (default = ``compute_dtype``): dtype of the VMEM
+    soft-pyramid/hard-stack scratch. ``jnp.int8`` quarters scratch VMEM
+    (all stored values are int8-representable), letting whole-code
+    pyramids fit at larger N at the cost of per-op converts.
     """
     if tree is None:
         tree = compile_code(code)
     n, k = code.N, code.K
     if frame_tile % 128:
         raise ValueError("frame_tile must be a multiple of 128")
+    storage_dtype = storage_dtype or compute_dtype
 
     kernel = functools.partial(_decoder_kernel, tree, n, compute_dtype)
 
@@ -347,8 +369,8 @@ def make_pallas_decoder(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), output_dtype),
             scratch_shapes=[
-                pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
-                pltpu.VMEM((n, bt), compute_dtype),      # hard stack
+                pltpu.VMEM((2 * n, bt), storage_dtype),  # soft pyramid
+                pltpu.VMEM((n, bt), storage_dtype),      # hard stack
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
