@@ -95,13 +95,18 @@ class Int8Arith(_ArithBase):
         return self._sat8(a.astype(jnp.int16) + b.astype(jnp.int16))
 
     def prod(self, a, b):
-        """Min-sum "f" (``polar_helper.hh:153-160``)."""
-        s = jnp.sign(a) * jnp.sign(b)
+        """Min-sum "f" (``polar_helper.hh:153-160``).
+
+        ``sign(x) == clip(x, -1, 1)`` on integers — cheaper lowering."""
+        s = self.signum(a).astype(jnp.int16) * self.signum(b)
         return (s * jnp.minimum(self.qabs(a), self.qabs(b))).astype(a.dtype)
 
     def madd(self, a, b, c):
-        """"g": sat8(sign(a)*max(b,-127) + c) (``polar_helper.hh:161-168``)."""
-        p = jnp.sign(a).astype(jnp.int16) * jnp.maximum(
+        """"g": sat8(sign(a)*max(b,-127) + c) (``polar_helper.hh:161-168``).
+
+        ``a`` is a hard decision in {-1, 0, +1} by the decoder contract
+        (``polar_decoder.hh:36-43`` — partial sums), so ``sign(a) == a``."""
+        p = a.astype(jnp.int16) * jnp.maximum(
             b, jnp.asarray(-127, b.dtype)
         ).astype(jnp.int16)
         return self._sat8(p + c.astype(jnp.int16))
@@ -165,11 +170,14 @@ class QuantFloatArith(_ArithBase):
                         jnp.asarray(I8_MAX, a.dtype))
 
     def prod(self, a, b):
-        s = jnp.sign(a) * jnp.sign(b)
+        # sign == clip(x, -1, 1) on integer-valued floats
+        s = self.signum(a) * self.signum(b)
         return s * jnp.minimum(self.qabs(a), self.qabs(b))
 
     def madd(self, a, b, c):
-        p = jnp.sign(a) * jnp.maximum(b, jnp.asarray(-127, b.dtype))
+        # `a` is a hard decision in {-1, 0, +1} (decoder contract), so
+        # sign(a) == a
+        p = a * jnp.maximum(b, jnp.asarray(-127, b.dtype))
         return jnp.clip(p + c, jnp.asarray(I8_MIN, a.dtype),
                         jnp.asarray(I8_MAX, a.dtype))
 
