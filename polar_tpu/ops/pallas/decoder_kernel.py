@@ -390,4 +390,25 @@ def make_pallas_decoder(
         mesg_t = call(llrs.T)
         return mesg_t.T[:b]
 
+    def decode_lane_major(llr_t):
+        """Zero-transpose entry point: LLRs ``(N, B)`` → u ``(K, B)``.
+
+        This is the kernel's native element-major layout — the analog of
+        the reference's interleaved lane-major buffers
+        (``testbench.cc:72``, element i of frame k at ``buf[W*i+k]``).
+        Pipelines that keep frames on the minor axis end-to-end skip the
+        two HBM transposes (measured ~1% at N=1024 — XLA overlaps them
+        with compute — but they cost real HBM bandwidth under load).
+        ``B`` must be a multiple of ``frame_tile``.
+        """
+        if llr_t.ndim != 2 or llr_t.shape[0] != n:
+            raise ValueError(f"expected (N={n}, B) lane-major LLRs")
+        if llr_t.shape[1] % frame_tile:
+            raise ValueError(
+                f"lane-major batch {llr_t.shape[1]} must be a multiple of "
+                f"frame_tile {frame_tile}"
+            )
+        return call(llr_t)
+
+    decode.lane_major = decode_lane_major
     return decode

@@ -75,3 +75,18 @@ def test_pallas_saturation_edges():
             make_pallas_decoder(code, frame_tile=128, interpret=True)(llr)
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_lane_major_entry():
+    """Zero-transpose lane-major path must equal the (B, N) path."""
+    import jax.numpy as jnp
+
+    code = pt.make_code(5, rate=0.5)
+    rng = np.random.default_rng(12)
+    llr = jnp.asarray(rng.integers(-128, 128, (128, code.N)).astype(np.int8))
+    dec = make_pallas_decoder(code, frame_tile=128, interpret=True)
+    a = np.asarray(dec(llr))
+    b = np.asarray(dec.lane_major(llr.T)).T
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        dec.lane_major(llr)  # wrong orientation
