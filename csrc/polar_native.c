@@ -37,40 +37,37 @@
 /* Fill lp[0..2^level) = log(pe) and lq[0..2^level) = log(1-pe), natural
  * leaf order (left child = pe*(2-pe) owns the first half of each block).
  * Dual-domain evolution: left lq' = 2*lq (exact near pe->1), right
- * lp' = 2*lp (exact near pe->0). lq may be NULL when only lp is needed. */
+ * lp' = 2*lp (exact near pe->0).
+ *
+ * The update formulas and their pe<0.5 branch point are EXACTLY those of
+ * polar_tpu.code.construction.bhattacharyya_dual (same transcendental
+ * calls, same operand order). Residual differences vs numpy are last-ulp
+ * diffs between numpy's SIMD exp/log1p and glibc's — amplified only in
+ * the zone where that domain is not the ranking key (lq near 0 where lp
+ * decides, lp near 0 where lq decides); masks agree at every tested
+ * design point including extreme tails (tests/test_native.py). */
 static void bhatt_logpe(int level, double log_pe0, double log_q0,
                         double *lp, double *lq)
 {
 	lp[0] = log_pe0;
-	if (lq)
-		lq[0] = log_q0;
+	lq[0] = log_q0;
 	for (int l = 0; l < level; ++l) {
 		int n = 1 << l;
 		/* expand in place from the back so children don't clobber
 		 * unread parents */
 		for (int i = n - 1; i >= 0; --i) {
-			double p = lp[i];
-			double left, right = 2.0 * p;
-			if (p < -40.0) {
-				/* log1p(-exp(p)/2) == 0 at double precision */
-				left = p + M_LN2;
-			} else if (lq) {
-				double q = lq[i];
-				/* log(2-pe) = log1p(1-pe); prefer the exact
-				 * domain when pe is large */
-				left = (p < -M_LN2)
-					? p + M_LN2 + log1p(-0.5 * exp(p))
-					: p + log1p(exp(q));
-			} else {
-				left = p + M_LN2 + log1p(-0.5 * exp(p));
-			}
+			double p = lp[i], q = lq[i];
+			double pe = exp(p);
+			/* left: log(pe(2-pe)); the direct form is
+			 * well-conditioned for pe < 1/2, the (1-pe)-domain
+			 * identity log1p(-(1-pe)^2) for pe >= 1/2 */
+			double left = (pe < 0.5)
+				? p + M_LN2 + log1p(-0.5 * pe)
+				: log1p(-exp(2.0 * q));
 			lp[2 * i] = left;
-			lp[2 * i + 1] = right;
-			if (lq) {
-				double q = lq[i];
-				lq[2 * i] = 2.0 * q;
-				lq[2 * i + 1] = q + log1p(exp(p));
-			}
+			lp[2 * i + 1] = 2.0 * p;
+			lq[2 * i] = 2.0 * q;
+			lq[2 * i + 1] = q + log1p(pe);
 		}
 	}
 }
@@ -206,11 +203,43 @@ static PyObject *py_bhatt_logpe(PyObject *self, PyObject *args)
 	}
 	int64_t n = (int64_t)1 << level;
 	PyObject *bytes = PyBytes_FromStringAndSize(NULL, n * (int64_t)sizeof(double));
+	double *lq = (double *)malloc((size_t)n * sizeof(double));
+	if (!bytes || !lq) {
+		Py_XDECREF(bytes);
+		free(lq);
+		return PyErr_NoMemory();
+	}
+	double *buf = (double *)PyBytes_AS_STRING(bytes);
+	Py_BEGIN_ALLOW_THREADS
+	bhatt_logpe(level, log(pe), log1p(-pe), buf, lq);
+	Py_END_ALLOW_THREADS
+	free(lq);
+	return bytes;
+}
+
+static PyObject *py_bhatt_dual(PyObject *self, PyObject *args)
+{
+	int level;
+	double pe;
+	(void)self;
+	if (!PyArg_ParseTuple(args, "id", &level, &pe))
+		return NULL;
+	if (level < 0 || level > 30) {
+		PyErr_SetString(PyExc_ValueError, "level out of range [0, 30]");
+		return NULL;
+	}
+	if (!(pe > 0.0 && pe < 1.0)) {
+		PyErr_SetString(PyExc_ValueError, "pe must be in (0, 1)");
+		return NULL;
+	}
+	int64_t n = (int64_t)1 << level;
+	/* layout: lp[0..n) then lq[0..n), both float64 */
+	PyObject *bytes = PyBytes_FromStringAndSize(NULL, 2 * n * (int64_t)sizeof(double));
 	if (!bytes)
 		return NULL;
 	double *buf = (double *)PyBytes_AS_STRING(bytes);
 	Py_BEGIN_ALLOW_THREADS
-	bhatt_logpe(level, log(pe), log1p(-pe), buf, NULL);
+	bhatt_logpe(level, log(pe), log1p(-pe), buf, buf + n);
 	Py_END_ALLOW_THREADS
 	return bytes;
 }
@@ -275,20 +304,23 @@ static PyObject *py_frozen_threshold(PyObject *self, PyObject *args)
 	}
 	int64_t n = (int64_t)1 << level;
 	double *logpe = (double *)malloc((size_t)n * sizeof(double));
+	double *logq = (double *)malloc((size_t)n * sizeof(double));
 	PyObject *bytes = PyBytes_FromStringAndSize(NULL, n);
-	if (!logpe || !bytes) {
+	if (!logpe || !logq || !bytes) {
 		free(logpe);
+		free(logq);
 		Py_XDECREF(bytes);
 		return PyErr_NoMemory();
 	}
 	uint8_t *mask = (uint8_t *)PyBytes_AS_STRING(bytes);
 	double log_th = log(th);
 	Py_BEGIN_ALLOW_THREADS
-	bhatt_logpe(level, log(pe), log1p(-pe), logpe, NULL);
+	bhatt_logpe(level, log(pe), log1p(-pe), logpe, logq);
 	for (int64_t i = 0; i < n; ++i)
 		mask[i] = logpe[i] > log_th;
 	Py_END_ALLOW_THREADS
 	free(logpe);
+	free(logq);
 	return bytes;
 }
 
@@ -330,6 +362,8 @@ static PyObject *py_compile_program(PyObject *self, PyObject *args)
 static PyMethodDef methods[] = {
 	{"bhatt_logpe", py_bhatt_logpe, METH_VARARGS,
 	 "bhatt_logpe(level, pe) -> bytes of float64 log erasure probabilities"},
+	{"bhatt_dual", py_bhatt_dual, METH_VARARGS,
+	 "bhatt_dual(level, pe) -> bytes of float64 [log pe..., log(1-pe)...]"},
 	{"frozen_fixed_k", py_frozen_fixed_k, METH_VARARGS,
 	 "frozen_fixed_k(level, K, pe) -> uint8 mask bytes (1 = frozen)"},
 	{"frozen_threshold", py_frozen_threshold, METH_VARARGS,

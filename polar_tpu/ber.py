@@ -226,9 +226,10 @@ def run_campaign(
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
-    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute,
-                     decoder=decoder)
     if decoder is None:
+        # build the decoder ONCE and share it between the Monte-Carlo step
+        # and the throughput measurement (one trace/compile per campaign —
+        # remote compiles are minutes, so the duplicate build was real time)
         if compute is None and jnp.dtype(dtype) == jnp.int8:
             from .decode.auto import make_auto_decoder
 
@@ -241,6 +242,8 @@ def run_campaign(
                 code, output="systematic" if systematic else "u",
                 compute=compute, output_dtype=dtype,
             )
+    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute,
+                     decoder=decoder)
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K,
                             systematic=systematic, seed=seed)

@@ -62,7 +62,9 @@ def bhattacharyya_dual(level: int, erasure_probability: float = math.exp(-1.0)):
         # well-conditioned one; for pe >= 1/2 the identity via lq is —
         # adding log(2-pe) to lp there cancels catastrophically as pe→1
         # (it can even produce positive "log-probabilities").
-        with np.errstate(divide="ignore"):
+        # lanes with pe < 0.5 are discarded by the np.where below and may
+        # evaluate to -inf (exp(2lq) == 1) or NaN by design — silence both.
+        with np.errstate(divide="ignore", invalid="ignore"):
             via_lq = np.log1p(-np.exp(2.0 * lq))
         left_lp = np.where(
             pe < 0.5, lp + math.log(2.0) + np.log1p(-0.5 * pe), via_lq

@@ -196,8 +196,9 @@ def make_fastssc_decoder(
     below this level run as Pallas VMEM megakernels (one kernel per
     distinct frozen pattern, cached), the levels above stay in XLA. This
     bounds kernel VMEM to one subtree's pyramid, so it scales to any N.
-    Requires 2-D ``(batch, N)`` inputs with batch a multiple of
-    ``kernel_frame_tile`` (pad the batch or use the plain decoder).
+    Requires 2-D ``(batch, N)`` inputs; the batch is padded internally to
+    a multiple of ``kernel_frame_tile`` (any batch size works, matching
+    the plain Pallas decoder's contract).
 
     The returned function is pure and shape-polymorphic in leading batch
     dimensions; it retraces only per distinct (N, frozen-set) — the
@@ -236,6 +237,16 @@ def make_fastssc_decoder(
     def decode(llrs):
         from ..encode import encode as reencode
 
+        batch = None
+        if kernel_level is not None:
+            # subtree kernels tile the frame axis; pad the whole batch once
+            # here (the same pad/slice contract as make_pallas_decoder).
+            if llrs.ndim != 2:
+                raise ValueError("hybrid decoder expects (batch, N) LLRs")
+            batch = llrs.shape[0]
+            pad = (-batch) % kernel_frame_tile
+            if pad:
+                llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         ph, work_dtype = _resolve_arith(compute, llrs.dtype)
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
         dec = _TreeDecoder(ph, subtree_kernel_for)
@@ -244,7 +255,8 @@ def make_fastssc_decoder(
         out_dtype = output_dtype or u.dtype
 
         def cast(a):
-            return a.astype(out_dtype) if a.dtype != out_dtype else a
+            a = a.astype(out_dtype) if a.dtype != out_dtype else a
+            return a if batch is None else a[:batch]
 
         if output == "u":
             return cast(u)

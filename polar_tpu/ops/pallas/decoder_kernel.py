@@ -67,15 +67,6 @@ def _guard(x, safe: bool):
     return jnp.maximum(x, jnp.asarray(-127, x.dtype))
 
 
-def _sat_f(a, b, ap, bp):
-    """min-sum f: sign(a)sign(b)min(qabs(a), qabs(b)).
-
-    ``sign(a*b) == sign(a)*sign(b)`` exactly (integer products <= 16384
-    are exact in f32/int16), saving one sign. ``ap``/``bp`` are the
-    -127-guarded operands, shared with g."""
-    return _isign(a * b) * jnp.minimum(jnp.abs(ap), jnp.abs(bp))
-
-
 def _sat_g(h, ap, b):
     """g: sat8(sign(h) * max(a, -127) + b).
 
@@ -166,10 +157,16 @@ class _KernelBuilder:
         self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows
 
-    def node(self, node: Node, hoff: int, safe: bool):
+    def node(self, node: Node, hoff: int, safe: bool, cabs=None):
         """Emit ops for `node`; on return, hard rows [hoff, hoff+len) hold
         the node's codeword estimate. ``safe``: the node's input slot
-        provably contains no -128 (f-produced slots)."""
+        provably contains no -128 (f-produced slots).
+
+        ``cabs``: the input slot's |value| array, handed down by a parent
+        f — EXACT because an f output's magnitude is the min it computed
+        (``|sign(ab)*m| = m``, zeros included: a or b zero ⇒ the guarded
+        min is zero too). Consumers (the child's own f, spc) skip their
+        abs ops; ~2 VPU ops saved per f whose parent was an f."""
         length = 1 << node.level
         kind = node.kind
         if kind == "rate0":
@@ -194,7 +191,7 @@ class _KernelBuilder:
             soft = self._soft_in(length)
             hard = _decide(soft)
             parity = _fold(hard, jnp.multiply)
-            sabs = jnp.abs(_guard(soft, safe))
+            sabs = cabs if cabs is not None else jnp.abs(_guard(soft, safe))
             weak = _fold(sabs, jnp.minimum)
             # flip ties (sabs == weak) by parity, mask-free: sabs - weak is
             # a non-negative integer, so min(sabs - weak, 1) is 0 exactly
@@ -216,8 +213,9 @@ class _KernelBuilder:
         if kind == "rate1_comb":
             a, b = self._soft_halves(length)
             ap, bp = _guard(a, safe), _guard(b, safe)
-            self._write_child(length, _sat_f(a, b, ap, bp))
-            self.node(node.left, hoff, safe=True)
+            fabs = self._f_abs(ap, bp, cabs, half)
+            self._write_child(length, _isign(a * b) * fabs)
+            self.node(node.left, hoff, safe=True, cabs=fabs)
             hl = self._ld(self.hard[pl.ds(hoff, half), :])
             hr = _isign(_sat_g(hl, ap, b))
             self._emit(_transform_value(hr))
@@ -229,8 +227,9 @@ class _KernelBuilder:
         if kind == "branch":
             a, b = self._soft_halves(length)
             ap, bp = _guard(a, safe), _guard(b, safe)
-            self._write_child(length, _sat_f(a, b, ap, bp))
-            self.node(node.left, hoff, safe=True)
+            fabs = self._f_abs(ap, bp, cabs, half)
+            self._write_child(length, _isign(a * b) * fabs)
+            self.node(node.left, hoff, safe=True, cabs=fabs)
             hl = self._ld(self.hard[pl.ds(hoff, half), :])
             self._write_child(length, _sat_g(hl, ap, b))
             self.node(node.right, hoff + half, safe=False)
@@ -238,6 +237,14 @@ class _KernelBuilder:
             self.hard[pl.ds(hoff, half), :] = self._st(hl * hr, self.hard.dtype)
             return
         raise AssertionError(kind)  # pragma: no cover
+
+    @staticmethod
+    def _f_abs(ap, bp, cabs, half):
+        """min(|a'|, |b'|) for the f op, reusing the parent's cached
+        magnitudes when available (they ARE |a'|/|b'| of this slot)."""
+        if cabs is not None:
+            return jnp.minimum(cabs[:half], cabs[half:])
+        return jnp.minimum(jnp.abs(ap), jnp.abs(bp))
 
 
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,

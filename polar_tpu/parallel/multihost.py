@@ -65,6 +65,12 @@ def run_multihost_campaign(code, *, seed=0, systematic=True, dtype=None,
     Identical control flow on every host (the sweep loop consumes only the
     psum-reduced, replicated counter totals, so all hosts take the same
     branches); only the lead host prints/writes.
+
+    With ``checkpoint_path``, the lead host rewrites the result JSON after
+    every SNR point; on restart the lead host reloads completed points and
+    **broadcasts** them to all hosts (``multihost_utils``), so every host
+    skips the same points and collective call sequences stay aligned even
+    when non-lead hosts lack the checkpoint file.
     """
     import jax.numpy as jnp
 
@@ -83,30 +89,37 @@ def run_multihost_campaign(code, *, seed=0, systematic=True, dtype=None,
     n_dev = mesh.devices.size
     key = jax.random.PRNGKey(seed)
 
+    done = _load_checkpoint_all_hosts(checkpoint_path, code, seed)
+
     points = []
     clean = 0
     snr = snr_range[0]
     while snr <= snr_range[1] + 1e-9 and clean < stop_after_clean:
         key, sub = jax.random.split(key)
-        totals: dict = {}
-        frames = 0
-        point_key = sub
-        while (frames < max_global_frames
-               and totals.get("uncorrected_errors", 0) < target_bit_errors):
-            point_key, batch_key = jax.random.split(point_key)
-            out = jax.device_get(
-                step(device_keys(batch_key, mesh), round(snr, 6),
-                     per_device_batch)
-            )
-            frames += per_device_batch * n_dev
-            for k, v in out.items():
-                totals[k] = totals.get(k, 0) + int(v)
+        snr_r = round(snr, 6)
+        if snr_r in done:
+            frames, totals = done[snr_r]
+        else:
+            totals = {}
+            frames = 0
+            point_key = sub
+            while (frames < max_global_frames
+                   and totals.get("uncorrected_errors", 0) < target_bit_errors):
+                point_key, batch_key = jax.random.split(point_key)
+                out = jax.device_get(
+                    step(device_keys(batch_key, mesh), snr_r,
+                         per_device_batch)
+                )
+                frames += per_device_batch * n_dev
+                for k, v in out.items():
+                    totals[k] = totals.get(k, 0) + int(v)
         ber = totals["uncorrected_errors"] / (frames * code.K)
         points.append({
-            "snr_db": round(snr, 6),
+            "snr_db": snr_r,
             "ebn0_db": ebn0_db(snr, code.rate),
             "frames": frames,
             "bit_errors": totals["uncorrected_errors"],
+            "frame_errors": totals["frame_errors"],
             "ber": ber,
             "fer": totals["frame_errors"] / frames,
         })
@@ -114,8 +127,68 @@ def run_multihost_campaign(code, *, seed=0, systematic=True, dtype=None,
         if verbose and is_lead_host():
             print(f"{snr:.1f} {ber:g} - {ebn0_db(snr, code.rate):g}",
                   flush=True)
+        if checkpoint_path is not None and is_lead_host():
+            _save_checkpoint(checkpoint_path, code, seed, points)
         snr += snr_step
     return points
+
+
+def _save_checkpoint(path, code, seed, points) -> None:
+    """Atomic JSON checkpoint (lead host only)."""
+    import json
+
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"code_n": code.N, "code_k": code.K, "seed": seed,
+                   "points": points}, f, indent=1)
+    os.replace(tmp, str(path))
+
+
+def _load_checkpoint_all_hosts(path, code, seed):
+    """{snr: (frames, counter totals)} of completed points, identical on
+    every host.
+
+    Only the lead host reads the file; the completed-point data rides a
+    ``broadcast_one_to_all`` (count first, then a fixed-shape row array) so
+    hosts without the file still skip the same points — otherwise the
+    collective call sequence would diverge and the pod would hang.
+    """
+    if path is None:
+        return {}
+    import json
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    rows = np.zeros((0, 4), dtype=np.float64)
+    if is_lead_host() and os.path.exists(str(path)):
+        try:
+            with open(str(path)) as f:
+                prev = json.load(f)
+            if (prev.get("code_n"), prev.get("code_k")) == (code.N, code.K) \
+                    and prev.get("seed") in (None, seed):
+                rows = np.asarray(
+                    [[p["snr_db"], p["frames"], p["bit_errors"],
+                      p["frame_errors"]] for p in prev.get("points", [])],
+                    dtype=np.float64,
+                ).reshape(-1, 4)
+        except (OSError, ValueError, KeyError):
+            rows = np.zeros((0, 4), dtype=np.float64)
+    if jax.process_count() > 1:
+        count = int(multihost_utils.broadcast_one_to_all(
+            np.int32(rows.shape[0])))
+        if count == 0:
+            return {}
+        if not is_lead_host():
+            rows = np.zeros((count, 4), dtype=np.float64)
+        rows = np.asarray(multihost_utils.broadcast_one_to_all(rows))
+    return {
+        round(float(r[0]), 6): (
+            int(r[1]),
+            {"uncorrected_errors": int(r[2]), "frame_errors": int(r[3])},
+        )
+        for r in rows
+    }
 
 
 def main() -> int:
@@ -130,6 +203,10 @@ def main() -> int:
     ap.add_argument("--snr-max", type=float, default=None)
     ap.add_argument("--snr-step", type=float, default=0.1)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="JSON checkpoint path (lead host writes after "
+                         "every SNR point; completed points are skipped "
+                         "on restart)")
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--num-processes", type=int, default=None)
@@ -152,6 +229,7 @@ def main() -> int:
         max_global_frames=args.max_global_frames,
         target_bit_errors=args.target_errors,
         snr_range=snr_range, snr_step=args.snr_step,
+        checkpoint_path=args.checkpoint,
     )
     if args.out and is_lead_host():
         import json

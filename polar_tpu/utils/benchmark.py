@@ -44,12 +44,25 @@ def _chained_runner(decode_fn, n_out_pad):
 
 
 def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
-                       repeats: int = 3, max_iters: int = 4096) -> float:
+                       repeats: int = 3, max_iters: int = 4096,
+                       n_devices: int = 1,
+                       max_rel_spread: float = 0.25) -> float:
     """Frames/s of ``decode_fn`` on the batch ``llrs`` ((B, N) → (B, K)).
 
     If the n-iteration run isn't clearly slower than the 1-iteration run
-    (dispatch/transfer noise swamping a tiny workload), the iteration
-    count is grown geometrically until the slope is resolvable.
+    (dispatch/transfer noise swamping a tiny workload), or the slope is
+    inconsistent across repeats (timer noise), the iteration count is
+    grown geometrically until the measurement is resolvable.
+
+    Acceptance requires BOTH (checked across ALL ``repeats``, not a lucky
+    pair): the chained work dominates the per-call constant
+    (``best_slope * (iters-1) > 3 * median(t1)``), and with ``repeats>1``
+    the slope spread ``(max-min)/min <= max_rel_spread``.
+
+    ``n_devices``: for decoders running over a multi-device mesh (e.g. a
+    ``shard_map`` frame-DP decode where ``B`` is the global batch), pass
+    ``mesh.devices.size`` to get **frames/s per device** — the
+    cross-hardware comparable number. Default 1 returns global frames/s.
     """
     b, n = llrs.shape
     k = jax.eval_shape(decode_fn, llrs).shape[-1]  # no eager dispatch
@@ -64,19 +77,26 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
         timed(1)
         timed(iters)
     while True:
-        best = float("inf")
+        slopes, t1s = [], []
         for _ in range(repeats):
             t1 = timed(1)
             tn = timed(iters)
-            best = min(best, (tn - t1) / (iters - 1))
-        # require the chained work to dominate the per-call constant
-        if best > 0 and best * (iters - 1) > 3 * abs(t1):
-            return b / best
+            t1s.append(t1)
+            slopes.append((tn - t1) / (iters - 1))
+        best = min(slopes)
+        t1s.sort()
+        t1_med = t1s[len(t1s) // 2]
+        # chained work must dominate the per-call constant, consistently
+        dominates = best > 0 and best * (iters - 1) > 3 * abs(t1_med)
+        consistent = (len(slopes) < 2
+                      or (max(slopes) - best) <= max_rel_spread * best)
+        if dominates and consistent:
+            return b / best / n_devices
         if iters >= max_iters:
             if best <= 0:
                 raise RuntimeError(
                     f"throughput not resolvable: slope {best:.3g}s/iter at "
                     f"{iters} iters (workload too small vs dispatch noise)"
                 )
-            return b / best
+            return b / best / n_devices
         iters = min(iters * 4, max_iters)

@@ -21,6 +21,13 @@ _REFERENCE = Path("/root/reference")
 _BUILD = _HERE / "build"
 
 
+def have_reference() -> bool:
+    """True when the read-only reference checkout is mounted (oracle-backed
+    parity tests skip otherwise; the frozen golden-vector suite in
+    tests/test_golden_vectors.py still runs)."""
+    return (_REFERENCE / "polar_decoder.hh").exists()
+
+
 @lru_cache(maxsize=1)
 def oracle_path() -> Path:
     """Compile the oracle once per source change; return the binary path."""
@@ -106,3 +113,24 @@ def decode(m: int, frozen: np.ndarray, llr_bn: np.ndarray) -> np.ndarray:
     )
     k = int((frozen == 0).sum())
     return np.frombuffer(data, dtype=np.int8).reshape(k, w).T.copy()
+
+
+@lru_cache(maxsize=1)
+def widthf() -> int:
+    return int(_run(["widthf"]).decode().strip())
+
+
+def decode_float(m: int, frozen: np.ndarray, llr_bn: np.ndarray) -> np.ndarray:
+    """Float-path decode (the testbench's ``typedef float code_type``
+    ablation): llr_bn (B, N) float32 with B == widthf(). Returns (B, K)
+    float32 hard-ish decisions as the reference decoder emits them."""
+    w = widthf()
+    b, n = llr_bn.shape
+    assert b == w and n == (1 << m)
+    lane_major = np.ascontiguousarray(llr_bn.T.astype(np.float32))  # (N, W)
+    data = _run(
+        ["decodef", str(m)],
+        frozen.astype(np.uint8).tobytes() + lane_major.tobytes(),
+    )
+    k = int((frozen == 0).sum())
+    return np.frombuffer(data, dtype=np.float32).reshape(k, w).T.copy()

@@ -19,6 +19,10 @@
 //   progcompile <M>            (stdin: N mask)        -> program bytes
 //   encode   <M> <systematic>  (stdin: N mask, W*K msg) -> W*N codeword
 //   decode   <M>               (stdin: N mask, W*N llr) -> W*K message
+//   widthf                     -> ascii float SIMD lane count WF
+//   decodef  <M>               (stdin: N mask, WF*N float32 llr)
+//                              -> WF*K float32 message  (the testbench's
+//                                 float code_type ablation, testbench.cc:49-53)
 
 #include <cassert>
 #include <cmath>
@@ -47,7 +51,7 @@ typedef int8_t code_type;
 static const int W = SIZEOF_SIMD / sizeof(code_type);
 typedef SIMD<code_type, W> simd_type;
 
-static const int MIN_M = 1, MAX_M = 14;
+static const int MIN_M = 1, MAX_M = 18;
 
 static void read_exact(void *buf, size_t n) {
 	if (std::fread(buf, 1, n, stdin) != n) {
@@ -101,9 +105,10 @@ template <int M>
 static void run_decode(const uint8_t *frozen) {
 	const int N = 1 << M;
 	const int K = count_info(frozen, N);
-	std::vector<uint8_t> program(N + 2);
+	std::vector<uint8_t> program(4 * size_t(N) + 16);
 	PolarCompiler compile;
-	compile(program.data(), frozen, M);
+	int plen = compile(program.data(), frozen, M);
+	assert(size_t(plen) <= program.size());
 	code_type *llr = alloc_lanes(N), *message = alloc_lanes(K);
 	read_exact(llr, size_t(W) * N);
 	auto *decode = reinterpret_cast<PolarDecoder<simd_type, M> *>(
@@ -116,15 +121,44 @@ static void run_decode(const uint8_t *frozen) {
 	free(message);
 }
 
+// Float-path decode (the reference's `typedef float code_type` ablation,
+// testbench.cc:49-53): PolarHelper<SIMD<float,WF>> generic min-sum.
+static const int WF = SIZEOF_SIMD / sizeof(float);
+typedef SIMD<float, WF> fsimd_type;
+
+template <int M>
+static void run_decodef(const uint8_t *frozen) {
+	const int N = 1 << M;
+	const int K = count_info(frozen, N);
+	std::vector<uint8_t> program(4 * size_t(N) + 16);
+	PolarCompiler compile;
+	int plen = compile(program.data(), frozen, M);
+	assert(size_t(plen) <= program.size());
+	float *llr = reinterpret_cast<float *>(
+		aligned_alloc(sizeof(fsimd_type), sizeof(fsimd_type) * N));
+	float *message = reinterpret_cast<float *>(
+		aligned_alloc(sizeof(fsimd_type), sizeof(fsimd_type) * K));
+	read_exact(llr, sizeof(float) * size_t(WF) * N);
+	auto *decode = reinterpret_cast<PolarDecoder<fsimd_type, M> *>(
+		aligned_alloc(sizeof(fsimd_type), sizeof(PolarDecoder<fsimd_type, M>)));
+	(*decode)(reinterpret_cast<fsimd_type *>(message),
+	          reinterpret_cast<fsimd_type *>(llr), program.data());
+	free(decode);
+	write_exact(message, sizeof(float) * size_t(WF) * K);
+	free(llr);
+	free(message);
+}
+
 template <int M>
 static void run_bench(const uint8_t *frozen, int iters) {
 	// Reference decode throughput on this host (frames/s), timed like
 	// testbench.cc:170-174 but over many iterations; prints ascii.
 	const int N = 1 << M;
 	const int K = count_info(frozen, N);
-	std::vector<uint8_t> program(N + 2);
+	std::vector<uint8_t> program(4 * size_t(N) + 16);
 	PolarCompiler compile;
-	compile(program.data(), frozen, M);
+	int plen = compile(program.data(), frozen, M);
+	assert(size_t(plen) <= program.size());
 	code_type *llr = alloc_lanes(N), *message = alloc_lanes(K);
 	std::srand(42);
 	for (size_t i = 0; i < size_t(W) * N; ++i)
@@ -169,6 +203,10 @@ static void run_freezek(int K, long double pe) {
 	case 12: fn<12>(__VA_ARGS__); break; \
 	case 13: fn<13>(__VA_ARGS__); break; \
 	case 14: fn<14>(__VA_ARGS__); break; \
+	case 15: fn<15>(__VA_ARGS__); break; \
+	case 16: fn<16>(__VA_ARGS__); break; \
+	case 17: fn<17>(__VA_ARGS__); break; \
+	case 18: fn<18>(__VA_ARGS__); break; \
 	default: std::fprintf(stderr, "oracle: unsupported M=%d\n", M); std::exit(2); \
 	} \
 } while (0)
@@ -181,6 +219,10 @@ int main(int argc, char **argv) {
 	std::string cmd = argv[1];
 	if (cmd == "width") {
 		std::printf("%d\n", W);
+		return 0;
+	}
+	if (cmd == "widthf") {
+		std::printf("%d\n", WF);
 		return 0;
 	}
 	int M = argc > 2 ? std::atoi(argv[2]) : 0;
@@ -201,10 +243,11 @@ int main(int argc, char **argv) {
 		freeze(frozen.data(), M, pe, th);
 		write_exact(frozen.data(), N);
 	} else if (cmd == "progcompile") {
-		std::vector<uint8_t> frozen(N), program(N + 2);
+		std::vector<uint8_t> frozen(N), program(4 * size_t(N) + 16);
 		read_exact(frozen.data(), N);
 		PolarCompiler compile;
 		int len = compile(program.data(), frozen.data(), M);
+		assert(size_t(len) <= program.size());
 		write_exact(program.data(), len);
 	} else if (cmd == "encode") {
 		bool systematic = std::atoi(argv[3]) != 0;
@@ -215,6 +258,10 @@ int main(int argc, char **argv) {
 		std::vector<uint8_t> frozen(N);
 		read_exact(frozen.data(), N);
 		DISPATCH_M(run_decode, frozen.data());
+	} else if (cmd == "decodef") {
+		std::vector<uint8_t> frozen(N);
+		read_exact(frozen.data(), N);
+		DISPATCH_M(run_decodef, frozen.data());
 	} else if (cmd == "bench") {
 		int iters = argc > 3 ? std::atoi(argv[3]) : 10000;
 		std::vector<uint8_t> frozen(N);

@@ -8,6 +8,12 @@ import pytest
 import polar_tpu as pt
 import oracle
 
+# oracle-backed parity needs the read-only reference checkout; without it
+# the frozen golden vectors (test_golden_vectors.py) carry the contract
+pytestmark = pytest.mark.skipif(
+    not oracle.have_reference(), reason="/root/reference not mounted"
+)
+
 
 @pytest.mark.parametrize("m", [2, 3, 4, 6, 8, 10, 12])
 @pytest.mark.parametrize("rate", [0.25, 0.5, 0.75])

@@ -8,6 +8,12 @@ import pytest
 import polar_tpu as pt
 import oracle
 
+# oracle-backed parity needs the read-only reference checkout; without it
+# the frozen golden vectors (test_golden_vectors.py) carry the contract
+pytestmark = pytest.mark.skipif(
+    not oracle.have_reference(), reason="/root/reference not mounted"
+)
+
 
 def rand_pm1(rng, shape):
     return (1 - 2 * rng.integers(0, 2, shape)).astype(np.int8)

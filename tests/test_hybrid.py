@@ -49,6 +49,42 @@ def test_hybrid_systematic_output():
     np.testing.assert_array_equal(hyb, ref)
 
 
+def test_hybrid_autopads_ragged_batch():
+    """VERDICT r1 #6: the hybrid (large-N champion) path must accept any
+    batch size — batch=1000 at m=13 with tile 256 pads to 1024 internally
+    and slices back. Noiseless round-trip: ±127 LLRs of a valid codeword
+    decode to the message through the padded kernels."""
+    code = pt.make_code(13, rate=0.5)
+    rng = np.random.default_rng(7)
+    msg = jnp.asarray((1 - 2 * rng.integers(0, 2, (1000, code.K))).astype(np.int8))
+    cw = pt.encode(code, msg)
+    llr = (cw.astype(jnp.int8) * jnp.int8(127)).astype(jnp.int8)
+    dec = make_fastssc_decoder(
+        code, output_dtype=jnp.int8, kernel_level=11,
+        kernel_frame_tile=256, kernel_interpret=True,
+    )
+    out = np.asarray(jax.jit(dec)(llr))
+    assert out.shape == (1000, code.K)
+    np.testing.assert_array_equal(out, np.asarray(msg))
+
+
+def test_hybrid_autopad_matches_xla_small():
+    """Padding correctness vs the XLA path at a cheap size (batch 100,
+    tile 128 → padded to 128)."""
+    code = pt.make_code(9, rate=0.5)
+    llr = _llrs(code, 100, 3)
+    ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
+    hyb = np.asarray(
+        jax.jit(
+            make_fastssc_decoder(
+                code, output_dtype=jnp.int8, kernel_level=6,
+                kernel_frame_tile=128, kernel_interpret=True,
+            )
+        )(llr)
+    )
+    np.testing.assert_array_equal(hyb, ref)
+
+
 def test_hybrid_kernel_cache_shared():
     """Identical frozen subtrees must share one kernel instance."""
     from polar_tpu.code.compiler import compile_code

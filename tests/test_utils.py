@@ -32,6 +32,28 @@ def test_measure_decode_fps_unresolvable_raises():
         assert "not resolvable" in str(e)
 
 
+def test_measure_decode_fps_on_frame_mesh():
+    """The meter works on a frame-DP sharded decoder (global batch over
+    the 8-device CPU mesh) and normalizes to per-device frames/s."""
+    from polar_tpu.parallel.mesh import batch_sharding, frame_mesh
+
+    code = pt.make_code(6, rate=0.5)
+    mesh = frame_mesh(jax.devices()[:8])
+    base = pt.make_fastssc_decoder(code, output_dtype=jnp.int8)
+
+    def dec(llrs):
+        return base(jax.lax.with_sharding_constraint(
+            llrs, batch_sharding(mesh)))
+
+    rng = np.random.default_rng(1)
+    llrs = jax.device_put(
+        jnp.asarray(rng.integers(-128, 128, (1024, code.N)).astype(np.int8)),
+        batch_sharding(mesh),
+    )
+    per_dev = measure_decode_fps(dec, llrs, iters=8, repeats=2, n_devices=8)
+    assert per_dev > 0
+
+
 def test_trace_contextmanager(tmp_path):
     with trace(str(tmp_path / "t")) as d:
         with annotate("unit-test-block"):
