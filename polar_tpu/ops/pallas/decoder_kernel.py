@@ -157,35 +157,49 @@ class _KernelBuilder:
         self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows
 
-    def node(self, node: Node, hoff: int, safe: bool, cabs=None):
+    def node(self, node: Node, hoff: int, safe: bool, cabs=None,
+             need_hard: bool = True):
         """Emit ops for `node`; on return, hard rows [hoff, hoff+len) hold
-        the node's codeword estimate. ``safe``: the node's input slot
-        provably contains no -128 (f-produced slots).
+        the node's codeword estimate (only if ``need_hard``). ``safe``:
+        the node's input slot provably contains no -128 (f-produced
+        slots).
 
         ``cabs``: the input slot's |value| array, handed down by a parent
         f — EXACT because an f output's magnitude is the min it computed
         (``|sign(ab)*m| = m``, zeros included: a or b zero ⇒ the guarded
         min is zero too). Consumers (the child's own f, spc) skip their
-        abs ops; ~2 VPU ops saved per f whose parent was an f."""
+        abs ops; ~2 VPU ops saved per f whose parent was an f.
+
+        ``need_hard``: whether any ancestor consumes this node's hard
+        estimate. A node's hard feeds only its parent's g (left child —
+        always needed) or its parent's combine (right child — needed iff
+        the PARENT's hard is). For ``output="u"`` kernels the root's hard
+        is dead, so every combine and hard store on the right spine is
+        elided — pure dead-code removal, bit-exactness untouched."""
         length = 1 << node.level
         kind = node.kind
         if kind == "rate0":
-            self.hard[pl.ds(hoff, length), :] = jnp.ones_like(
-                self.hard[pl.ds(hoff, length), :]
-            )
+            if need_hard:
+                self.hard[pl.ds(hoff, length), :] = jnp.ones_like(
+                    self.hard[pl.ds(hoff, length), :]
+                )
             return
         if kind == "rate1":
             hard = _isign(self._soft_in(length))
-            self.hard[pl.ds(hoff, length), :] = self._st(hard, self.hard.dtype)
+            if need_hard:
+                self.hard[pl.ds(hoff, length), :] = self._st(
+                    hard, self.hard.dtype
+                )
             self._emit(_transform_value(hard))
             return
         if kind == "rep":
             acc = _fold(self._soft_in(length), _sat_add)
             bit = _isign(acc)
             self._emit(bit)
-            self.hard[pl.ds(hoff, length), :] = jnp.broadcast_to(
-                self._st(bit, self.hard.dtype), (length, bit.shape[1])
-            )
+            if need_hard:
+                self.hard[pl.ds(hoff, length), :] = jnp.broadcast_to(
+                    self._st(bit, self.hard.dtype), (length, bit.shape[1])
+                )
             return
         if kind == "spc":
             soft = self._soft_in(length)
@@ -199,16 +213,20 @@ class _KernelBuilder:
             not_tie = jnp.minimum(sabs - weak, jnp.asarray(1, sabs.dtype))
             one = jnp.asarray(1, hard.dtype)
             hard = hard * (not_tie + (one - not_tie) * parity)
-            self.hard[pl.ds(hoff, length), :] = self._st(hard, self.hard.dtype)
+            if need_hard:
+                self.hard[pl.ds(hoff, length), :] = self._st(
+                    hard, self.hard.dtype
+                )
             self._emit(_transform_value(hard)[1:])
             return
         half = length // 2
         if kind == "rate0_right":
             a, b = self._soft_halves(length)
             self._write_child(length, _sat_add(a, b))
-            self.node(node.right, hoff, safe=False)
-            hr = self.hard[pl.ds(hoff, half), :]
-            self.hard[pl.ds(hoff + half, half), :] = hr
+            self.node(node.right, hoff, safe=False, need_hard=need_hard)
+            if need_hard:
+                hr = self.hard[pl.ds(hoff, half), :]
+                self.hard[pl.ds(hoff + half, half), :] = hr
             return
         if kind == "rate1_comb":
             a, b = self._soft_halves(length)
@@ -219,10 +237,13 @@ class _KernelBuilder:
             hl = self._ld(self.hard[pl.ds(hoff, half), :])
             hr = _isign(_sat_g(hl, ap, b))
             self._emit(_transform_value(hr))
-            self.hard[pl.ds(hoff, half), :] = self._st(hl * hr, self.hard.dtype)
-            self.hard[pl.ds(hoff + half, half), :] = self._st(
-                hr, self.hard.dtype
-            )
+            if need_hard:
+                self.hard[pl.ds(hoff, half), :] = self._st(
+                    hl * hr, self.hard.dtype
+                )
+                self.hard[pl.ds(hoff + half, half), :] = self._st(
+                    hr, self.hard.dtype
+                )
             return
         if kind == "branch":
             a, b = self._soft_halves(length)
@@ -232,9 +253,13 @@ class _KernelBuilder:
             self.node(node.left, hoff, safe=True, cabs=fabs)
             hl = self._ld(self.hard[pl.ds(hoff, half), :])
             self._write_child(length, _sat_g(hl, ap, b))
-            self.node(node.right, hoff + half, safe=False)
-            hr = self._ld(self.hard[pl.ds(hoff + half, half), :])
-            self.hard[pl.ds(hoff, half), :] = self._st(hl * hr, self.hard.dtype)
+            self.node(node.right, hoff + half, safe=False,
+                      need_hard=need_hard)
+            if need_hard:
+                hr = self._ld(self.hard[pl.ds(hoff + half, half), :])
+                self.hard[pl.ds(hoff, half), :] = self._st(
+                    hl * hr, self.hard.dtype
+                )
             return
         raise AssertionError(kind)  # pragma: no cover
 
@@ -247,11 +272,91 @@ class _KernelBuilder:
         return jnp.minimum(jnp.abs(ap), jnp.abs(bp))
 
 
+class _SsaBuilder:
+    """Value-passing (SSA) kernel body: no soft-pyramid/hard-stack scratch
+    at all — node inputs and hard estimates flow through the trace-time
+    recursion as values, and Mosaic allocates registers/spills with exact
+    lifetimes. Removes the explicit VMEM store+load round trip that the
+    scratch builder pays at every node boundary; hard assembly uses row
+    concatenation instead of stack updates. Same sign-free ops, same
+    saturation order — bit-exact with the scratch kernel (tested)."""
+
+    def __init__(self, mesg, compute_dtype):
+        self.mesg = mesg
+        self.moff = 0
+        self.cdtype = compute_dtype
+
+    def _emit(self, block):
+        rows = block.shape[0]
+        self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
+        self.moff += rows
+
+    def node(self, node: Node, soft, safe: bool, cabs=None,
+             need_hard: bool = True):
+        """Returns the node's hard estimate as a value (or None when no
+        ancestor consumes it)."""
+        kind = node.kind
+        if kind == "rate0":
+            return jnp.ones_like(soft) if need_hard else None
+        if kind == "rate1":
+            hard = _isign(soft)
+            self._emit(_transform_value(hard))
+            return hard if need_hard else None
+        if kind == "rep":
+            bit = _isign(_fold(soft, _sat_add))
+            self._emit(bit)
+            if need_hard:
+                return jnp.broadcast_to(bit, soft.shape)
+            return None
+        if kind == "spc":
+            hard = _decide(soft)
+            parity = _fold(hard, jnp.multiply)
+            sabs = cabs if cabs is not None else jnp.abs(_guard(soft, safe))
+            weak = _fold(sabs, jnp.minimum)
+            not_tie = jnp.minimum(sabs - weak, jnp.asarray(1, sabs.dtype))
+            one = jnp.asarray(1, hard.dtype)
+            hard = hard * (not_tie + (one - not_tie) * parity)
+            self._emit(_transform_value(hard)[1:])
+            return hard if need_hard else None
+        half = soft.shape[0] // 2
+        a, b = soft[:half], soft[half:]
+        if kind == "rate0_right":
+            hr = self.node(node.right, _sat_add(a, b), safe=False,
+                           need_hard=need_hard)
+            if need_hard:
+                return jnp.concatenate([hr, hr], axis=0)
+            return None
+        ap, bp = _guard(a, safe), _guard(b, safe)
+        fabs = _KernelBuilder._f_abs(ap, bp, cabs, half)
+        hl = self.node(node.left, _isign(a * b) * fabs, safe=True, cabs=fabs)
+        if kind == "rate1_comb":
+            hr = _isign(_sat_g(hl, ap, b))
+            self._emit(_transform_value(hr))
+            if need_hard:
+                return jnp.concatenate([hl * hr, hr], axis=0)
+            return None
+        if kind == "branch":
+            hr = self.node(node.right, _sat_g(hl, ap, b), safe=False,
+                           need_hard=need_hard)
+            if need_hard:
+                return jnp.concatenate([hl * hr, hr], axis=0)
+            return None
+        raise AssertionError(kind)  # pragma: no cover
+
+
+def _ssa_decoder_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref):
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+           need_hard=False)
+
+
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
     b = _KernelBuilder(soft, hard, mesg_ref, compute_dtype)
-    b.node(tree, 0, safe=False)
+    # u-output kernel: the root's hard estimate is dead — elide the whole
+    # right spine's combines and hard stores
+    b.node(tree, 0, safe=False, need_hard=False)
 
 
 def _subtree_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
@@ -340,6 +445,7 @@ def make_pallas_decoder(
     storage_dtype=None,
     output_dtype=jnp.int8,
     interpret: bool = False,
+    style: str = "scratch",
 ):
     """Build the Pallas Fast-SSC decoder: LLRs ``(B, N)`` int8 → u ``(B, K)``.
 
@@ -352,15 +458,29 @@ def make_pallas_decoder(
     soft-pyramid/hard-stack scratch. ``jnp.int8`` quarters scratch VMEM
     (all stored values are int8-representable), letting whole-code
     pyramids fit at larger N at the cost of per-op converts.
+
+    ``style``: ``"scratch"`` (explicit VMEM soft-pyramid/hard-stack) or
+    ``"ssa"`` (value-passing body, compiler-managed lifetimes — no
+    scratch buffers). Bit-identical outputs.
     """
     if tree is None:
         tree = compile_code(code)
     n, k = code.N, code.K
     if frame_tile % 128:
         raise ValueError("frame_tile must be a multiple of 128")
+    if style not in ("scratch", "ssa"):
+        raise ValueError(f"unknown kernel style {style!r}")
     storage_dtype = storage_dtype or compute_dtype
 
-    kernel = functools.partial(_decoder_kernel, tree, n, compute_dtype)
+    if style == "ssa":
+        kernel = functools.partial(_ssa_decoder_kernel, tree, compute_dtype)
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(_decoder_kernel, tree, n, compute_dtype)
+        scratch_shapes = [
+            pltpu.VMEM((2 * n, frame_tile), storage_dtype),  # soft pyramid
+            pltpu.VMEM((n, frame_tile), storage_dtype),      # hard stack
+        ]
 
     def call(llr_t):  # (N, B) element-major
         bt = frame_tile
@@ -375,10 +495,7 @@ def make_pallas_decoder(
             out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), output_dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2 * n, bt), storage_dtype),  # soft pyramid
-                pltpu.VMEM((n, bt), storage_dtype),      # hard stack
-            ],
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
                 if interpret else ("parallel",),

@@ -58,11 +58,13 @@ class _ShardedTreeDecoder:
     Python ints (trace-time), so masks and permutations are static.
     """
 
-    def __init__(self, ph, axis: str, n_dev: int, shard: int):
+    def __init__(self, ph, axis: str, n_dev: int, shard: int,
+                 batch_split: bool = False):
         self.ph = ph
         self.axis = axis
         self.n_dev = n_dev
         self.shard = shard  # S: elements per device
+        self.batch_split = batch_split
         self.d = jax.lax.axis_index(axis)
 
     # -- communication helpers -----------------------------------------
@@ -186,15 +188,33 @@ class _ShardedTreeDecoder:
         """Shard-size node: decode the whole subtree with the local
         trace-time decoder (this call site is specialized to THIS
         subtree's frozen pattern — uniform across devices because the
-        specialization happens per call site, not per device)."""
+        specialization happens per call site, not per device).
+
+        Default mode decodes the subtree redundantly on every device (SC
+        is sequential across subtrees — the other shards would idle
+        anyway). ``batch_split`` mode instead splits the FRAME batch over
+        the mesh for the subtree decode and re-gathers the results: total
+        decode work drops D-fold, at the price of one extra all_gather —
+        the work-efficient choice when B is large."""
         inp = jax.lax.all_gather(soft, self.axis)[base]
         dec = _TreeDecoder(self.ph)
-        hard = dec.decode(node, inp)
-        u = jnp.ones_like(inp)
+        if self.batch_split and inp.shape[0] % self.n_dev == 0:
+            nb = inp.shape[0] // self.n_dev
+            mine = jax.lax.dynamic_slice_in_dim(inp, self.d * nb, nb, axis=0)
+            hard_mine = dec.decode(node, mine)
+            gathered = jax.lax.all_gather(hard_mine, self.axis)  # (D, nb, S)
+            hard = gathered.reshape(inp.shape)
+        else:
+            hard = dec.decode(node, inp)
+        u = jnp.ones_like(hard)
         if dec.mesg:
             mesg = jnp.concatenate(dec.mesg, axis=-1)
             info = np.flatnonzero(_leaf_frozen(node) == 0)
-            u = u.at[..., info].set(mesg)
+            if self.batch_split and inp.shape[0] % self.n_dev == 0:
+                u_mine = jnp.ones_like(mine).at[..., info].set(mesg)
+                u = jax.lax.all_gather(u_mine, self.axis).reshape(u.shape)
+            else:
+                u = u.at[..., info].set(mesg)
         return hard, u
 
 
@@ -230,6 +250,7 @@ def make_seqpar_decoder(
     tree: Node | None = None,
     compute=None,
     output: str = "u_full",
+    batch_split: bool = False,
 ):
     """Element-sharded Fast-SSC decoder: LLRs ``(B, N)`` sharded on the
     element axis over ``mesh[axis]`` → u-domain estimate ``(B, N)`` with
@@ -239,6 +260,11 @@ def make_seqpar_decoder(
     ``compute`` follows :func:`polar_tpu.decode.fastssc.make_fastssc_decoder`
     (None = infer from dtype; int8 semantics are bit-exact with the
     reference and the local decoders).
+
+    ``batch_split``: split the frame batch across the mesh for each
+    shard-size subtree decode (work-efficient; needs B divisible by the
+    shard count) instead of decoding subtrees redundantly on every
+    device. Identical results either way.
     """
     if tree is None:
         tree = compile_code(code)
@@ -258,7 +284,8 @@ def make_seqpar_decoder(
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
 
         def body(x_loc):
-            dec = _ShardedTreeDecoder(ph, axis, n_dev, shard)
+            dec = _ShardedTreeDecoder(ph, axis, n_dev, shard,
+                                      batch_split=batch_split)
             _, u = dec.decode(tree, x_loc, 0, n_dev)
             return u
 

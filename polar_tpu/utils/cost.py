@@ -13,10 +13,14 @@ from dataclasses import dataclass
 from ..code.compiler import Node, compile_code
 from ..code.construction import PolarCode
 
-# approximate VPU element-op multipliers per kind (sign-free kernel)
+# approximate VPU element-op multipliers per kind (sign-free kernel).
+# "f_cached" is an f whose input slot was produced by a parent f: the
+# kernel hands the parent's min magnitudes down, so both abs ops vanish
+# (decoder_kernel.py `cabs`); same for spc_cached (skips abs + guard).
 _MULT = {
-    "f": 7, "g": 4, "comb": 1, "qadd": 3, "copy": 1, "sign": 2,
-    "rate0": 1, "rate1": 2, "rep": 3, "spc": 8, "transform": 2,
+    "f": 7, "f_cached": 5, "g": 4, "comb": 1, "qadd": 3, "copy": 1,
+    "sign": 2, "rate0": 1, "rate1": 2, "rep": 3, "spc": 8,
+    "spc_cached": 6, "transform": 2,
 }
 
 VMEM_BYTES = 16 * 1024 * 1024
@@ -52,7 +56,7 @@ def decode_cost(code: PolarCode, tree: Node | None = None) -> DecodeCost:
         ops, sites = by_kind.get(kind, (0, 0))
         by_kind[kind] = (ops + elems * _MULT[kind], sites + 1)
 
-    def walk(n: Node):
+    def walk(n: Node, from_f: bool = False):
         nonlocal nodes
         nodes += 1
         length = 1 << n.level
@@ -66,22 +70,22 @@ def decode_cost(code: PolarCode, tree: Node | None = None) -> DecodeCost:
         elif k == "rep":
             add("rep", length)
         elif k == "spc":
-            add("spc", length)
+            add("spc_cached" if from_f else "spc", length)
             add("transform", length * n.level // 2)
         elif k == "rate0_right":
             add("qadd", half)
             walk(n.right)
             add("copy", half)
         elif k == "rate1_comb":
-            add("f", half)
-            walk(n.left)
+            add("f_cached" if from_f else "f", half)
+            walk(n.left, from_f=True)
             add("g", half)
             add("sign", half)
             add("transform", half * (n.level - 1) // 2)
             add("comb", half)
         elif k == "branch":
-            add("f", half)
-            walk(n.left)
+            add("f_cached" if from_f else "f", half)
+            walk(n.left, from_f=True)
             add("g", half)
             walk(n.right)
             add("comb", half)

@@ -120,6 +120,22 @@ def stage_large(ms=(16, 17, 18), kl=11, tile=256):
             llrs, iters=16)
 
 
+def stage_dtypes():
+    """Retry 16-bit kernel compute (VERDICT r1 #10): int16 and bfloat16
+    variants crashed the remote compile helper in round 1; record whether
+    a fresh session compiles them and how they measure."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    code = pt.make_code(10, rate=0.5)
+    llrs = llr_batch(code, 32768)
+    for dt, name in ((jnp.int16, "int16"), (jnp.bfloat16, "bf16"),
+                     (jnp.int32, "int32")):
+        measure(f"n1024-pallas-{name}-t512", lambda d=dt: pt.make_pallas_decoder(
+            code, frame_tile=512, compute_dtype=d), llrs, iters=32)
+
+
 def stage_parity(ms=(13, 15, 16)):
     """TPU decode vs the CPU reference oracle, bit for bit (W=32 batch),
     through the hybrid path, plus a noiseless round-trip at every m."""
@@ -158,13 +174,13 @@ def stage_parity(ms=(13, 15, 16)):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["n1024", "m15", "large", "parity"])
+                    choices=["n1024", "m15", "large", "parity", "dtypes"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     {"n1024": stage_n1024, "m15": stage_m15, "large": stage_large,
-     "parity": stage_parity}[args.stage]()
+     "parity": stage_parity, "dtypes": stage_dtypes}[args.stage]()
 
 
 if __name__ == "__main__":

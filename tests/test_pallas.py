@@ -27,6 +27,25 @@ def test_pallas_matches_xla_int8(m):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("m", [4, 8, 10])
+@pytest.mark.parametrize("rate", [0.25, 0.5, 0.75])
+def test_ssa_kernel_matches_scratch(m, rate):
+    """The value-passing (scratch-free) kernel body must be bit-identical
+    to the scratch-pyramid body, edge LLRs included."""
+    code = pt.make_code(m, rate=rate)
+    rng = np.random.default_rng(m + int(rate * 10))
+    llr = np.concatenate([
+        rng.integers(-128, 128, (64, code.N)),
+        rng.choice(np.array([-128, -127, 0, 127]), (64, code.N)),
+    ]).astype(np.int8)
+    llr = jnp.asarray(llr)
+    a = np.asarray(make_pallas_decoder(code, frame_tile=128,
+                                       interpret=True)(llr))
+    b = np.asarray(make_pallas_decoder(code, frame_tile=128, interpret=True,
+                                       style="ssa")(llr))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_padding():
     code = pt.make_code(4, rate=0.5)
     rng = np.random.default_rng(0)

@@ -65,6 +65,18 @@ def test_seqpar_decode_qfloat_compute():
         np.asarray(a).astype(np.int8), np.asarray(b).astype(np.int8))
 
 
+def test_seqpar_decode_batch_split_mode():
+    """Work-efficient subtree mode (frame batch split over the mesh per
+    subtree) must produce identical results to the redundant mode."""
+    code = pt.make_code(12, rate=0.5)
+    mesh = element_mesh(jax.devices()[:8])
+    llr = _llrs(code, 16, 21)  # 16 frames over 8 devices: 2 per device
+    a = jax.jit(make_seqpar_decoder(code, mesh, output="u"))(llr)
+    b = jax.jit(make_seqpar_decoder(code, mesh, output="u",
+                                    batch_split=True))(llr)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_seqpar_decode_validates():
     code = pt.make_code(4, rate=0.5)
     mesh = element_mesh(jax.devices()[:8])
