@@ -226,12 +226,19 @@ def make_fastssc_decoder(
                 return None
             key = emit_program(node, node.level).tobytes()
             if key not in cache:
-                cache[key] = make_subtree_decoder(
+                # jit the subtree decoder so repeated call sites of the
+                # same frozen pattern reuse ONE traced/lowered body (a
+                # pjit call in the outer jaxpr) instead of re-tracing the
+                # kernel at every site — at m=20 the upper tree has ~512
+                # sites but only ~a dozen distinct patterns
+                import jax as _jax
+
+                cache[key] = _jax.jit(make_subtree_decoder(
                     node,
                     frame_tile=kernel_frame_tile,
                     compute_dtype=kdtype,
                     interpret=kernel_interpret,
-                )
+                ))
             return cache[key]
 
     def decode(llrs):

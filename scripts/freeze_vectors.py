@@ -54,7 +54,9 @@ def main():
     w = oracle.width()
     wf = oracle.widthf()
     data = {"width": np.int64(w), "widthf": np.int64(wf)}
-    configs = [(m, r) for m in range(2, 11) for r in ((0.5,) if m < 6 else (0.25, 0.5, 0.75))]
+    configs = [(m, r) for m in range(2, 11)
+               for r in ((0.5,) if m < 6 else (0.25, 0.5, 0.75))]
+    configs += [(11, 0.5), (12, 0.5)]  # large-m spot checks (2 batches each)
     for m, rate in configs:
         n = 1 << m
         k = int(rate * n)
@@ -70,7 +72,7 @@ def main():
         data[f"enc_msg_{m}_{rk}"] = msg
         data[f"enc_sys_{m}_{rk}"] = oracle.encode(m, code.frozen, msg, True)
         data[f"enc_nonsys_{m}_{rk}"] = oracle.encode(m, code.frozen, msg, False)
-        n_batches = 4 if rate == 0.5 else 1
+        n_batches = (2 if m >= 11 else 4) if rate == 0.5 else 1
         for i in range(n_batches):
             llr = edge_llrs(rng, w, n, i)
             data[f"llr_{m}_{rk}_{i}"] = llr
