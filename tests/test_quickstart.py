@@ -30,3 +30,30 @@ def test_readme_campaign_line():
         measure_throughput=False,
     )
     assert result.points
+
+
+def test_doc_test_counts_are_current(request):
+    """Doc-rot guard (VERDICT r1 weak #6): the test counts stated in
+    STATUS.md and README.md must equal the collected suite size. Only
+    meaningful on a full-suite run; subset runs skip."""
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    items = request.session.items
+    if len(items) < 250:
+        pytest.skip("test-count guard needs a full-suite run")
+    repo = Path(__file__).resolve().parent.parent
+    status = re.search(r"\| Tests \| (\d+) green",
+                       (repo / "STATUS.md").read_text())
+    assert status, "STATUS.md missing its test-count row"
+    assert int(status.group(1)) == len(items), (
+        f"STATUS.md says {status.group(1)} tests; the suite collects "
+        f"{len(items)} — regenerate the count")
+    readme = re.search(r"\| `tests/` \| (\d+) tests",
+                       (repo / "README.md").read_text())
+    assert readme, "README.md missing its tests row"
+    assert int(readme.group(1)) == len(items), (
+        f"README.md says {readme.group(1)} tests; the suite collects "
+        f"{len(items)}")
