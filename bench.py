@@ -41,11 +41,14 @@ def main() -> None:
     rng = np.random.default_rng(42)
     llrs = jnp.asarray(rng.integers(-128, 128, (batch, code.N)).astype(np.int8))
 
-    # champion: the Pallas VMEM megakernel (f32 compute carrying exact
-    # int8 semantics), frame_tile 512 — see results/THROUGHPUT.md. The
-    # XLA path is the fallback if the environment's kernel compiler is
-    # unavailable (observed flaky remote compile helper).
+    # champion: the SSA-style Pallas kernel (value-passing body,
+    # compiler-managed lifetimes — no scratch pyramid), f32 compute
+    # carrying exact int8 semantics, frame_tile 512 — see
+    # results/THROUGHPUT.md. Fallbacks if the environment's kernel
+    # compiler is unavailable (observed flaky remote compile helper).
     candidates = [
+        ("pallas-ssa-f32-512", lambda: pt.make_pallas_decoder(
+            code, frame_tile=512, compute_dtype=jnp.float32, style="ssa")),
         ("pallas-f32-512", lambda: pt.make_pallas_decoder(
             code, frame_tile=512, compute_dtype=jnp.float32)),
         ("pallas-f32-256", lambda: pt.make_pallas_decoder(

@@ -20,9 +20,9 @@ def test_cpu_backend_selects_xla():
 
 def test_tpu_selection_descriptors():
     assert make_auto_decoder(pt.make_code(8, rate=0.5), backend="tpu")[1] == \
-        "pallas-f32-t512"
+        "pallas-ssa-f32-t512"
     assert make_auto_decoder(pt.make_code(12, rate=0.5), backend="tpu")[1] == \
-        "pallas-f32-t128"
+        "pallas-ssa-f32-t128"
     assert make_auto_decoder(pt.make_code(14, rate=0.5), backend="tpu")[1] == \
         "hybrid-kl11-t256"
     assert "reencode" in make_auto_decoder(
