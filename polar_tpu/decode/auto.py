@@ -23,8 +23,12 @@ from ..code.construction import PolarCode
 from .fastssc import make_fastssc_decoder
 
 # frame tiles by log2(N), from the measured sweeps (results/THROUGHPUT.md)
-_TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256, 12: 128}
-_HYBRID_MIN_LEVEL = 13       # whole-code pyramid exceeds VMEM above this
+# (SSA style: no scratch pyramid, so larger tiles/sizes fit than under
+# the scratch style — N=4096 t256 measured 11.4M vs t128's 10.0M, and
+# whole-code N=8192 works at 4.6M where the scratch pyramid could not)
+_TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
+                  12: 256, 13: 128}
+_HYBRID_MIN_LEVEL = 14       # whole-code SSA live set exceeds VMEM above this
 _HYBRID_KERNEL_LEVEL = 11
 _HYBRID_TILE = 256
 

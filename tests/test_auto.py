@@ -22,6 +22,8 @@ def test_tpu_selection_descriptors():
     assert make_auto_decoder(pt.make_code(8, rate=0.5), backend="tpu")[1] == \
         "pallas-ssa-f32-t512"
     assert make_auto_decoder(pt.make_code(12, rate=0.5), backend="tpu")[1] == \
+        "pallas-ssa-f32-t256"
+    assert make_auto_decoder(pt.make_code(13, rate=0.5), backend="tpu")[1] == \
         "pallas-ssa-f32-t128"
     assert make_auto_decoder(pt.make_code(14, rate=0.5), backend="tpu")[1] == \
         "hybrid-kl11-t256"
