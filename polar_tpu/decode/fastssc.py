@@ -171,6 +171,7 @@ def make_fastssc_decoder(
     kernel_frame_tile: int = 256,
     kernel_compute_dtype=None,
     kernel_interpret: bool = False,
+    kernel_style: str = "ssa",
 ):
     """Build a jittable Fast-SSC decoder specialized for ``code``.
 
@@ -238,6 +239,7 @@ def make_fastssc_decoder(
                     frame_tile=kernel_frame_tile,
                     compute_dtype=kdtype,
                     interpret=kernel_interpret,
+                    style=kernel_style,
                 ))
             return cache[key]
 

@@ -350,6 +350,17 @@ def _ssa_decoder_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref):
            need_hard=False)
 
 
+def _ssa_subtree_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref,
+                        hard_ref):
+    """SSA twin of _subtree_kernel: the hard estimate IS needed (the
+    enclosing XLA recursion's g/combine consume it), returned as the
+    recursion's value and stored once."""
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    hard = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                  need_hard=True)
+    hard_ref[...] = hard.astype(hard_ref.dtype)
+
+
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
@@ -377,6 +388,7 @@ def make_subtree_decoder(
     frame_tile: int = 256,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    style: str = "ssa",
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -384,14 +396,27 @@ def make_subtree_decoder(
     where ``soft`` is the node's input LLR slot. ``B`` must be a multiple
     of ``frame_tile`` (the hybrid wrapper pads the whole batch once).
     The enclosing XLA recursion handles levels above; this keeps VMEM
-    bounded (one subtree's pyramid, not the whole code's), so arbitrarily
-    large N decode with kernel-resident subtrees.
+    bounded (one subtree's live set, not the whole code's), so
+    arbitrarily large N decode with kernel-resident subtrees.
+
+    ``style``: ``"ssa"`` (default — value-passing body, measured faster)
+    or ``"scratch"`` (explicit VMEM pyramid). Bit-identical outputs.
     """
     n = 1 << tree.level
     k = tree.mesg_bits
     if k < 1:
         raise ValueError("kernelize only nodes that emit message bits")
-    kernel = functools.partial(_subtree_kernel, tree, n, compute_dtype)
+    if style == "ssa":
+        kernel = functools.partial(_ssa_subtree_kernel, tree, compute_dtype)
+        scratch_shapes = []
+    elif style == "scratch":
+        kernel = functools.partial(_subtree_kernel, tree, n, compute_dtype)
+        scratch_shapes = [
+            pltpu.VMEM((2 * n, frame_tile), compute_dtype),  # soft pyramid
+            pltpu.VMEM((n, frame_tile), compute_dtype),      # hard stack
+        ]
+    else:
+        raise ValueError(f"unknown kernel style {style!r}")
 
     def call(soft_t):  # (len, B) element-major
         bt = frame_tile
@@ -413,10 +438,7 @@ def make_subtree_decoder(
                 jax.ShapeDtypeStruct((k, soft_t.shape[1]), jnp.int8),
                 jax.ShapeDtypeStruct((n, soft_t.shape[1]), jnp.int8),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2 * n, bt), compute_dtype),  # soft pyramid
-                pltpu.VMEM((n, bt), compute_dtype),      # hard stack
-            ],
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
                 if interpret else ("parallel",),

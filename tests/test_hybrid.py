@@ -15,8 +15,9 @@ def _llrs(code, batch, seed):
     return jnp.asarray(rng.integers(-128, 128, (batch, code.N)).astype(np.int8))
 
 
+@pytest.mark.parametrize("style", ["ssa", "scratch"])
 @pytest.mark.parametrize("m,klevel", [(7, 4), (8, 5), (9, 6)])
-def test_hybrid_matches_xla(m, klevel):
+def test_hybrid_matches_xla(m, klevel, style):
     code = pt.make_code(m, rate=0.5)
     llr = _llrs(code, 128, m)
     ref = np.asarray(jax.jit(make_fastssc_decoder(code, output_dtype=jnp.int8))(llr))
@@ -25,6 +26,7 @@ def test_hybrid_matches_xla(m, klevel):
             make_fastssc_decoder(
                 code, output_dtype=jnp.int8, kernel_level=klevel,
                 kernel_frame_tile=128, kernel_interpret=True,
+                kernel_style=style,
             )
         )(llr)
     )
