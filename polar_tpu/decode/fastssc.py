@@ -195,11 +195,14 @@ def make_fastssc_decoder(
 
     ``kernel_level``: enable the hybrid decoder — composite subtrees at or
     below this level run as Pallas VMEM megakernels (one kernel per
-    distinct frozen pattern, cached), the levels above stay in XLA. This
-    bounds kernel VMEM to one subtree's pyramid, so it scales to any N.
-    Requires 2-D ``(batch, N)`` inputs; the batch is padded internally to
-    a multiple of ``kernel_frame_tile`` (any batch size works, matching
-    the plain Pallas decoder's contract).
+    distinct frozen pattern, jitted once and reused across call sites),
+    the levels above stay in XLA. This bounds kernel VMEM to one
+    subtree's live set, so it scales to any N. Requires 2-D
+    ``(batch, N)`` inputs; the batch is padded internally to a multiple
+    of ``kernel_frame_tile`` (any batch size works, matching the plain
+    Pallas decoder's contract). ``kernel_style``: ``"ssa"`` (default,
+    value-passing kernel body — measured faster) or ``"scratch"``
+    (explicit VMEM pyramid); bit-identical outputs.
 
     The returned function is pure and shape-polymorphic in leading batch
     dimensions; it retraces only per distinct (N, frozen-set) — the

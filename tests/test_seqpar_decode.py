@@ -65,6 +65,27 @@ def test_seqpar_decode_qfloat_compute():
         np.asarray(a).astype(np.int8), np.asarray(b).astype(np.int8))
 
 
+def test_seqpar_decode_sharded_special_nodes():
+    """Crafted mask putting REP and SPC nodes ABOVE the shard level
+    (plus rate0_right / rate1_comb fusions at sharded levels): the left
+    level-11 subtree is a rep pattern (only its last leaf free), the
+    right one an spc pattern (only its first leaf frozen). Bit-exact vs
+    the local decoder."""
+    m = 12
+    n = 1 << m
+    mask = np.zeros(n, np.uint8)
+    mask[: n // 2] = 1          # left half: all frozen ...
+    mask[n // 2 - 1] = 0        # ... except its last leaf -> rep
+    mask[n // 2] = 1            # right half: first leaf frozen -> spc
+    code = pt.PolarCode(m, mask)
+    mesh = element_mesh(jax.devices()[:8])
+    llr = _llrs(code, 16, 33)
+    local = jax.jit(pt.make_fastssc_decoder(code, output_dtype=jnp.int8))
+    sharded = jax.jit(make_seqpar_decoder(code, mesh, output="u"))
+    np.testing.assert_array_equal(
+        np.asarray(sharded(llr)).astype(np.int8), np.asarray(local(llr)))
+
+
 def test_seqpar_decode_batch_split_mode():
     """Work-efficient subtree mode (frame batch split over the mesh per
     subtree) must produce identical results to the redundant mode."""
