@@ -182,18 +182,26 @@ def run_point(
 
 
 def measure_decode_throughput(code, decode_fn, snr_db, key, batch, dtype,
-                              iters: int = 8) -> float:
+                              iters: int = 32, repeats: int = 3) -> float:
     """Decode-only throughput in info bits/s (compile excluded), the analog
     of the timed region at ``testbench.cc:170-174``. Uses the chained
     slope method (:mod:`polar_tpu.utils.benchmark`) so async-dispatch acks
-    and remote-execute dedup cannot inflate the number."""
+    and remote-execute dedup cannot inflate the number.
+
+    ``repeats`` must stay >= 2: with a single repeat the cross-repeat
+    slope-consistency check is inert and relay-side per-request jitter
+    can pass the acceptance test with a slope that is off by 40x+
+    (measured: iters=8/repeats=1 reported 5-18K fps for a decoder whose
+    converged throughput is 865K fps — receipt ``m13-sys-gauge-*`` in
+    results/throughput_receipts_r2.txt)."""
     from .utils.benchmark import measure_decode_fps
 
     k1, k2 = jax.random.split(key)
     bits = jax.random.bernoulli(k1, 0.5, (batch, code.K))
     message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
     llrs = awgn_llrs(k2, encode(code, message), snr_db, dtype)
-    return measure_decode_fps(decode_fn, llrs, iters=iters, repeats=1) * code.K
+    return measure_decode_fps(decode_fn, llrs, iters=iters,
+                              repeats=repeats) * code.K
 
 
 def run_campaign(
@@ -259,6 +267,7 @@ def run_campaign(
             done = {round(p.snr_db, 6): p for p in prev.points}
     clean = 0
     snr = snr_range[0]
+    mbps = None  # decode-only gauge, measured ONCE per campaign (below)
     while snr <= snr_range[1] + 1e-9 and clean < stop_after_clean:
         key, sub = jax.random.split(key)
         snr_r = round(snr, 6)
@@ -268,9 +277,20 @@ def run_campaign(
             point = run_point(
                 code, snr_r, key=sub, step=step, systematic=systematic,
                 dtype=dtype, batch=batch, max_frames=max_frames_per_point,
-                target_bit_errors=target_bit_errors, decode_fn=decoder,
-                measure_throughput=measure_throughput,
+                target_bit_errors=target_bit_errors,
+                measure_throughput=False,
             )
+            if measure_throughput:
+                # Fast-SSC decode is data-independent (static shapes, no
+                # data-dependent control flow), so the per-point Mb/s of
+                # the reference's table (testbench.cc:218) is one number
+                # here: measure it once, honestly (multi-repeat slope
+                # consistency — see measure_decode_throughput), and stamp
+                # it on every computed point.
+                if mbps is None:
+                    mbps = measure_decode_throughput(
+                        code, decoder, snr_r, sub, batch, dtype)
+                point.info_bits_per_sec = mbps
         result.points.append(point)
         result.peak_mbps = max(result.peak_mbps, point.info_bits_per_sec / 1e6)
         if point.bit_errors == 0:

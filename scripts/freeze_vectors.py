@@ -57,6 +57,7 @@ def main():
     configs = [(m, r) for m in range(2, 11)
                for r in ((0.5,) if m < 6 else (0.25, 0.5, 0.75))]
     configs += [(11, 0.5), (12, 0.5)]  # large-m spot checks (2 batches each)
+    configs += [(13, 0.5), (14, 0.5)]  # frontier spot checks (1 batch each)
     for m, rate in configs:
         n = 1 << m
         k = int(rate * n)
@@ -72,7 +73,10 @@ def main():
         data[f"enc_msg_{m}_{rk}"] = msg
         data[f"enc_sys_{m}_{rk}"] = oracle.encode(m, code.frozen, msg, True)
         data[f"enc_nonsys_{m}_{rk}"] = oracle.encode(m, code.frozen, msg, False)
-        n_batches = (2 if m >= 11 else 4) if rate == 0.5 else 1
+        if rate != 0.5:
+            n_batches = 1
+        else:
+            n_batches = 4 if m < 11 else (2 if m < 13 else 1)
         for i in range(n_batches):
             llr = edge_llrs(rng, w, n, i)
             data[f"llr_{m}_{rk}_{i}"] = llr

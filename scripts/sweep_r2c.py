@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Round-2c TPU measurement session (run serially — one TPU process).
+
+Stages:
+  gauge  — why does the campaign's per-point Mb/s gauge (iters=8,
+           repeats=1) under-report vs the honest receipt settings?
+           Reproduce both measurements back-to-back on the same decoder
+           in one process, after campaign-like step() traffic.
+  ladder — hybrid subtree kernel-level ladder under the SSA body:
+           kl12/kl13 were VMEM-infeasible for the scratch style; the SSA
+           live set is smaller, so they may fit and shrink the XLA top
+           graph (fewer full-N HBM passes). m=14 and m=15.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sweep_r2 import llr_batch, log, measure  # noqa: E402
+
+
+def stage_gauge():
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step
+    from polar_tpu.decode.auto import make_auto_decoder
+    from polar_tpu.utils.benchmark import measure_decode_fps
+
+    code = pt.make_code(13, rate=0.5)
+    dec, desc = make_auto_decoder(code, output="systematic",
+                                  output_dtype=jnp.int8)
+    step = make_step(code, systematic=True, decoder=dec)
+    key = jax.random.PRNGKey(123)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        out = jax.device_get(step(sub, 0.5, 4096))
+    log({"cfg": "gauge-steps", "desc": desc,
+         "step_s": round(time.perf_counter() - t0, 1), "ts": time.time()})
+    llrs = llr_batch(code, 4096)
+    for name, kw in (("campaign-style-i8r1", dict(iters=8, repeats=1)),
+                     ("receipt-style-i64r3", dict(iters=64, repeats=3)),
+                     ("campaign-style-i8r1-again", dict(iters=8, repeats=1))):
+        t0 = time.perf_counter()
+        fps = measure_decode_fps(dec, llrs, **kw)
+        log({"cfg": f"m13-sys-gauge-{name}", "fps": round(fps, 1),
+             "mbps": round(fps * code.K / 1e6, 1),
+             "measure_s": round(time.perf_counter() - t0, 1),
+             "ts": time.time()})
+
+
+def stage_ladder():
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m, batch, cfgs in (
+        (14, 2048, ((12, 256), (12, 128), (13, 128))),
+        (15, 1024, ((12, 256), (13, 128))),
+    ):
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for kl, tile in cfgs:
+            measure(
+                f"m{m}-hybrid-ssa-kl{kl}-t{tile}",
+                lambda c=code, k=kl, t=tile: pt.make_fastssc_decoder(
+                    c, output_dtype=jnp.int8, kernel_level=k,
+                    kernel_frame_tile=t),
+                llrs, iters=32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True, choices=["gauge", "ladder"])
+    args = ap.parse_args()
+    from polar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    {"gauge": stage_gauge, "ladder": stage_ladder}[args.stage]()
+
+
+if __name__ == "__main__":
+    main()
