@@ -67,6 +67,56 @@ def device_keys(key, mesh: Mesh, axis: str = BATCH_AXIS):
     return jax.device_put(jax.random.key_data(keys), sharding)
 
 
+def global_llr_batch(code, mesh: Mesh | None = None, *, axis: str = BATCH_AXIS,
+                     per_device_batch: int = 4096, seed: int = 42):
+    """Random full-range int8 LLRs ``(n_devices * per_device_batch, N)``,
+    sharded on the frame axis, built from **process-local** data: every
+    host draws only the rows its addressable devices own (its own PRNG
+    stream, ``seed + process_index``) — no host ever materializes the
+    global batch, so this works identically on single-process meshes and
+    multi-process pods (``jax.make_array_from_process_local_data``)."""
+    import numpy as np
+
+    if mesh is None:
+        mesh = frame_mesh(axis=axis)
+    sharding = jax.NamedSharding(mesh, P(axis))
+    b_global = mesh.devices.size * per_device_batch
+    n_local_dev = sum(d.process_index == jax.process_index()
+                      for d in mesh.devices.flat)
+    rng = np.random.default_rng(seed + jax.process_index())
+    local = rng.integers(-128, 128,
+                         (n_local_dev * per_device_batch, code.N)).astype(np.int8)
+    return jax.make_array_from_process_local_data(
+        sharding, local, (b_global, code.N))
+
+
+def measure_sharded_decode_fps(code, mesh: Mesh | None = None, *,
+                               axis: str = BATCH_AXIS,
+                               per_device_batch: int = 4096,
+                               decoder=None, dtype=jnp.int8, seed: int = 42,
+                               **kw):
+    """Frame-DP decode throughput over a (possibly multi-process) mesh,
+    in **frames/s per device** — the cross-hardware comparable number.
+
+    The decoder is elementwise along the frame axis, so jitting it with
+    the frame-sharded global batch runs one SPMD program with zero
+    decode-time communication (the checksum reduction in the meter's
+    runner is the only collective). The chained-slope meter's adaptive
+    control flow is lead-host-synchronized (see
+    :func:`polar_tpu.utils.benchmark.measure_decode_fps`), so every host
+    returns the same figure."""
+    from ..decode.fastssc import make_fastssc_decoder
+    from ..utils.benchmark import measure_decode_fps
+
+    if mesh is None:
+        mesh = frame_mesh(axis=axis)
+    if decoder is None:
+        decoder = make_fastssc_decoder(code, output_dtype=dtype)
+    llrs = global_llr_batch(code, mesh, axis=axis,
+                            per_device_batch=per_device_batch, seed=seed)
+    return measure_decode_fps(decoder, llrs, n_devices=mesh.devices.size, **kw)
+
+
 def run_sharded_point(
     code: PolarCode,
     snr_db: float,

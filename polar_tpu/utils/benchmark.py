@@ -63,10 +63,18 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
     ``shard_map`` frame-DP decode where ``B`` is the global batch), pass
     ``mesh.devices.size`` to get **frames/s per device** — the
     cross-hardware comparable number. Default 1 returns global frames/s.
+
+    Multi-process safe: with ``jax.process_count() > 1`` every process
+    must execute the same device programs in the same order (the runner
+    contains cross-process collectives), so the accept/grow decision and
+    the reported slope are the LEAD host's, broadcast to all — otherwise
+    divergent local timings would desynchronize the adaptive loop and
+    deadlock the cluster. All hosts therefore return the same number.
     """
     b, n = llrs.shape
     k = jax.eval_shape(decode_fn, llrs).shape[-1]  # no eager dispatch
     runner = _chained_runner(decode_fn, n - k)
+    multiproc = jax.process_count() > 1
 
     def timed(it):
         t0 = time.perf_counter()
@@ -90,7 +98,15 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
         dominates = best > 0 and best * (iters - 1) > 3 * abs(t1_med)
         consistent = (len(slopes) < 2
                       or (max(slopes) - best) <= max_rel_spread * best)
-        if dominates and consistent:
+        accepted = dominates and consistent
+        if multiproc:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            best, accepted = multihost_utils.broadcast_one_to_all(
+                np.asarray([best, 1.0 if accepted else 0.0], np.float64))
+            best, accepted = float(best), bool(accepted)
+        if accepted:
             return b / best / n_devices
         if iters >= max_iters:
             if best <= 0:

@@ -76,14 +76,40 @@ def stage_ladder():
                 llrs, iters=32)
 
 
+def stage_ladder2():
+    """kl13 won at m14/m15 (+8%/+14% over kl11): probe kl13-t256 (VMEM
+    risk tolerated) and extend kl13-t128 to the m16..18 frontier."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m, batch, cfgs in (
+        (14, 2048, ((13, 256),)),
+        (16, 256, ((13, 128),)),
+        (17, 256, ((13, 128),)),
+        (18, 256, ((13, 128),)),
+    ):
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for kl, tile in cfgs:
+            measure(
+                f"m{m}-hybrid-ssa-kl{kl}-t{tile}",
+                lambda c=code, k=kl, t=tile: pt.make_fastssc_decoder(
+                    c, output_dtype=jnp.int8, kernel_level=k,
+                    kernel_frame_tile=t),
+                llrs, iters=16 if m >= 16 else 32)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", required=True, choices=["gauge", "ladder"])
+    ap.add_argument("--stage", required=True,
+                    choices=["gauge", "ladder", "ladder2"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    {"gauge": stage_gauge, "ladder": stage_ladder}[args.stage]()
+    {"gauge": stage_gauge, "ladder": stage_ladder,
+     "ladder2": stage_ladder2}[args.stage]()
 
 
 if __name__ == "__main__":

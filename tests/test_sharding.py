@@ -66,3 +66,18 @@ def test_sharded_point_reproducible():
     b = run_sharded_point(CODE, 1.0, key=jax.random.PRNGKey(3),
                           per_device_batch=32, max_global_frames=512)
     assert a == b
+
+
+def test_measure_sharded_decode_fps_single_process():
+    """The frame-DP throughput meter on the 8-device mesh: per-host LLR
+    construction (process-local path degenerates to the whole batch in
+    single-process), SPMD decode, positive per-device figure."""
+    from polar_tpu.parallel.campaign import (
+        global_llr_batch, measure_sharded_decode_fps)
+
+    mesh = frame_mesh()
+    llrs = global_llr_batch(CODE, mesh, per_device_batch=16)
+    assert llrs.shape == (8 * 16, CODE.N) and llrs.dtype == jnp.int8
+    fps = measure_sharded_decode_fps(
+        CODE, mesh, per_device_batch=16, iters=16, repeats=2, max_iters=64)
+    assert fps > 0
