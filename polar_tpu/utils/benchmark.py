@@ -74,13 +74,27 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
     b, n = llrs.shape
     k = jax.eval_shape(decode_fn, llrs).shape[-1]  # no eager dispatch
     runner = _chained_runner(decode_fn, n - k)
-    multiproc = jax.process_count() > 1
 
     def timed(it):
         t0 = time.perf_counter()
         int(runner(llrs, it))  # host pull forces completion
         return time.perf_counter() - t0
 
+    slope = _slope_seconds_per_iter(timed, iters, warmup=warmup,
+                                    repeats=repeats, max_iters=max_iters,
+                                    max_rel_spread=max_rel_spread)
+    return b / slope / n_devices
+
+
+def _slope_seconds_per_iter(timed, iters, *, warmup=True, repeats=3,
+                            max_iters=4096, max_rel_spread=0.25) -> float:
+    """The adaptive chained-slope core shared by the meters: ``timed(it)``
+    runs an it-iteration chained program and returns wall seconds; the
+    accepted per-iteration slope must dominate the per-call constant AND
+    be consistent across repeats, else the iteration count grows
+    geometrically. Lead-host-synchronized under multi-process (see
+    :func:`measure_decode_fps`)."""
+    multiproc = jax.process_count() > 1
     if warmup:
         timed(1)
         timed(iters)
@@ -107,12 +121,51 @@ def measure_decode_fps(decode_fn, llrs, *, iters: int = 16, warmup: bool = True,
                 np.asarray([best, 1.0 if accepted else 0.0], np.float64))
             best, accepted = float(best), bool(accepted)
         if accepted:
-            return b / best / n_devices
+            return best
         if iters >= max_iters:
             if best <= 0:
                 raise RuntimeError(
                     f"throughput not resolvable: slope {best:.3g}s/iter at "
                     f"{iters} iters (workload too small vs dispatch noise)"
                 )
-            return b / best / n_devices
+            return best
         iters = min(iters * 4, max_iters)
+
+
+def measure_step_rate(step_body, key, snr_db, batch: int, *, iters: int = 16,
+                      warmup: bool = True, repeats: int = 3,
+                      max_iters: int = 4096,
+                      max_rel_spread: float = 0.25) -> float:
+    """Frames/s of the FULL Monte-Carlo step (message gen + encode +
+    AWGN + decode + counters) — the end-to-end campaign rate, vs
+    :func:`measure_decode_fps`'s decode-only rate; the gap between the
+    two is the chain overhead a fused step would recover.
+
+    ``step_body`` is the unjitted body from
+    :func:`polar_tpu.ber.make_step_body`. Iterations are chained through
+    the PRNG key split sequence (a true data dependency) inside one
+    jitted ``fori_loop``, counters are accumulated and pulled to the
+    host, and the same hardened slope acceptance applies.
+    """
+
+    def runner(k0, it):
+        def body(_, carry):
+            k, acc = carry
+            k, sub = jax.random.split(k)
+            out = step_body(sub, snr_db, batch)
+            return k, acc + out["uncorrected_errors"]
+
+        _, acc = jax.lax.fori_loop(0, it, body, (k0, jnp.int32(0)))
+        return acc
+
+    runner = jax.jit(runner, static_argnums=(1,))
+
+    def timed(it):
+        t0 = time.perf_counter()
+        int(runner(key, it))  # host pull forces completion
+        return time.perf_counter() - t0
+
+    slope = _slope_seconds_per_iter(timed, iters, warmup=warmup,
+                                    repeats=repeats, max_iters=max_iters,
+                                    max_rel_spread=max_rel_spread)
+    return batch / slope

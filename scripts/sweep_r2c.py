@@ -100,16 +100,49 @@ def stage_ladder2():
                 llrs, iters=16 if m >= 16 else 32)
 
 
+def stage_steprate():
+    """End-to-end Monte-Carlo step rate vs decode-only rate: the gap is
+    the encode+AWGN+counter overhead a fused step kernel could recover.
+    If the gap is small, the BACKLOG's step-megakernel idea is dead."""
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step_body
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    for m, batch in ((10, 32768), (13, 4096)):
+        code = pt.make_code(m, rate=0.5)
+        body = make_step_body(code, systematic=True)
+        t0 = time.perf_counter()
+        try:
+            rate = measure_step_rate(body, jax.random.PRNGKey(5), 0.0, batch,
+                                     iters=32)
+            log({"cfg": f"m{m}-steprate-sys", "batch": batch,
+                 "fps": round(rate, 1),
+                 "measure_s": round(time.perf_counter() - t0, 1),
+                 "ts": time.time()})
+        except Exception as e:  # noqa: BLE001 — record and continue
+            log({"cfg": f"m{m}-steprate-sys", "error": f"{type(e).__name__}: {e}",
+                 "ts": time.time()})
+        # decode-only reference on the same batch size for the ratio
+        dec, desc = __import__(
+            "polar_tpu.decode.auto", fromlist=["make_auto_decoder"]
+        ).make_auto_decoder(code, output="systematic", output_dtype=jnp.int8)
+        llrs = llr_batch(code, batch)
+        measure(f"m{m}-decodeonly-sys-{desc}", lambda d=dec: d, llrs, iters=32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["gauge", "ladder", "ladder2"])
+                    choices=["gauge", "ladder", "ladder2", "steprate"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     {"gauge": stage_gauge, "ladder": stage_ladder,
-     "ladder2": stage_ladder2}[args.stage]()
+     "ladder2": stage_ladder2, "steprate": stage_steprate}[args.stage]()
 
 
 if __name__ == "__main__":

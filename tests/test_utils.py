@@ -59,3 +59,16 @@ def test_trace_contextmanager(tmp_path):
         with annotate("unit-test-block"):
             jnp.arange(8).sum().block_until_ready()
     assert (tmp_path / "t").exists()
+
+
+def test_measure_step_rate_cpu():
+    """End-to-end step meter: chained key-split fori_loop over the full
+    Monte-Carlo chain resolves to a positive frames/s figure."""
+    from polar_tpu.ber import make_step_body
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    code = pt.make_code(6, rate=0.5)
+    body = make_step_body(code, systematic=True)
+    rate = measure_step_rate(body, jax.random.PRNGKey(0), 2.0, 256,
+                             iters=16, repeats=2, max_iters=64)
+    assert rate > 0
