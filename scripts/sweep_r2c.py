@@ -133,16 +133,55 @@ def stage_steprate():
         measure(f"m{m}-decodeonly-sys-{desc}", lambda d=dec: d, llrs, iters=32)
 
 
+def stage_m20_probe():
+    """One decode + noiseless round-trip at m=20 (N=1,048,576): kl13
+    subtree kernels shrink the XLA top graph 4x vs the kl11 m=19 probe
+    (128 leaf subtrees instead of 512 at m=20), so the trace+compile
+    ceiling moves up a level. Records first-call and steady-call times
+    plus the correctness witness."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    try:
+        code = pt.make_code(20, rate=0.5)
+        rng = np.random.default_rng(7)
+        msg = (1 - 2 * rng.integers(0, 2, (32, code.K))).astype(np.int8)
+        cw = pt.encode(code, jnp.asarray(msg))
+        llr = (cw.astype(jnp.int8) * jnp.int8(96)).astype(jnp.int8)
+        dec = jax.jit(pt.make_fastssc_decoder(
+            code, output_dtype=jnp.int8, kernel_level=13,
+            kernel_frame_tile=128))
+        t0 = time.perf_counter()
+        out = np.asarray(dec(llr))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out2 = np.asarray(dec(llr))
+        t_second = time.perf_counter() - t0
+        log({"cfg": "m20-probe", "noiseless_roundtrip":
+             bool(np.array_equal(out, msg) and np.array_equal(out2, msg)),
+             "first_call_s": round(t_first, 1),
+             "steady_call_s": round(t_second, 2),
+             "frames": 32, "ts": time.time()})
+    except Exception as e:  # noqa: BLE001
+        log({"cfg": "m20-probe", "error": f"{type(e).__name__}: {e}"[:400],
+             "ts": time.time()})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["gauge", "ladder", "ladder2", "steprate"])
+                    choices=["gauge", "ladder", "ladder2", "steprate",
+                             "m20probe"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     {"gauge": stage_gauge, "ladder": stage_ladder,
-     "ladder2": stage_ladder2, "steprate": stage_steprate}[args.stage]()
+     "ladder2": stage_ladder2, "steprate": stage_steprate,
+     "m20probe": stage_m20_probe}[args.stage]()
 
 
 if __name__ == "__main__":
