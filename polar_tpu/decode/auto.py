@@ -7,7 +7,8 @@ backend, from the measured frontier in ``results/THROUGHPUT.md``:
   (value-passing body, compiler-managed lifetimes — measured ~13%
   faster than the explicit scratch pyramid), frame tile from the sweep;
 * large N (pyramid would exceed VMEM) — hybrid: XLA upper levels +
-  subtree kernels at level 11;
+  subtree kernels at level 13 (tile 128 — the largest VMEM-feasible
+  subtree; kl13 beat kl11/kl12 at every measured m=14..18, +5-14%);
 * non-TPU backends (CPU tests, debugging) — the XLA path (Pallas
   compiles only in interpret mode there).
 
@@ -29,8 +30,8 @@ from .fastssc import make_fastssc_decoder
 _TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
                   12: 256, 13: 128}
 _HYBRID_MIN_LEVEL = 14       # whole-code SSA live set exceeds VMEM above this
-_HYBRID_KERNEL_LEVEL = 11
-_HYBRID_TILE = 256
+_HYBRID_KERNEL_LEVEL = 13    # kl13-t128 won at every m=14..18 (r2 ladder2)
+_HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
 
 
 def make_auto_decoder(code: PolarCode, *, output: str = "u",
@@ -59,30 +60,13 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
         )
         return dec, f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
     tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
-    if output == "u":
-        from ..ops.pallas.decoder_kernel import make_pallas_decoder
-
-        dec = make_pallas_decoder(code, frame_tile=tile,
-                                  compute_dtype=jnp.float32,
-                                  output_dtype=output_dtype, style="ssa")
-        return dec, f"pallas-ssa-f32-t{tile}"
-    # non-"u" outputs need the re-encode epilogue: wrap the kernel's u
-    # output with the fused XLA re-encode (still one jitted program).
-    from ..encode import encode as reencode
     from ..ops.pallas.decoder_kernel import make_pallas_decoder
 
-    kernel = make_pallas_decoder(code, frame_tile=tile,
-                                 compute_dtype=jnp.float32,
-                                 output_dtype=output_dtype, style="ssa")
-    info = code.info_indices
-
-    def decode(llrs):
-        u = kernel(llrs)
-        if output == "both":
-            return u, reencode(code, u)
-        cw = reencode(code, u)
-        if output == "systematic":
-            return cw[..., info]
-        return cw
-
-    return decode, f"pallas-ssa-f32-t{tile}+reencode"
+    # non-"u" outputs use the kernel's fused codeword-estimate track (the
+    # in-VMEM re-encode — no XLA re-encode epilogue, no extra HBM passes).
+    dec = make_pallas_decoder(code, frame_tile=tile,
+                              compute_dtype=jnp.float32,
+                              output_dtype=output_dtype, style="ssa",
+                              output=output)
+    suffix = "" if output == "u" else "-fusedcw"
+    return dec, f"pallas-ssa-f32-t{tile}{suffix}"

@@ -32,8 +32,11 @@ re-encoded codeword — was deliberately NOT used for the systematic path:
 it deviates from the reference whenever zero-LLR ties or SPC even-tie
 flips occur, because the testbench's re-encode forces frozen slots to +1
 (``testbench.cc:177-183``) while the internal hard need not satisfy them.
-The systematic output therefore re-encodes the u estimate, fused into the
-same XLA program.)
+The systematic output therefore re-encodes the u estimate — either the
+XLA re-encode fused into the same program, or, when subtree kernels are
+active, a per-node codeword-estimate track combined up the tree
+(``want_cw`` below) that is bit-identical to the re-encode by
+construction.)
 
 Saturation order matches the reference exactly, so int8(-semantics)
 decodes are bit-exact against the reference decoder (oracle parity
@@ -59,10 +62,18 @@ class _TreeDecoder:
     kernel-resident pyramids below).
     """
 
-    def __init__(self, ph, subtree_kernel_for=None):
+    def __init__(self, ph, subtree_kernel_for=None, want_cw=False):
         self.ph = ph
         self.subtree_kernel_for = subtree_kernel_for
         self.mesg: list = []
+        # want_cw: carry the re-encoded codeword-estimate track through
+        # the recursion (cw = transform(scatter(u_segment)), frozen → +1
+        # — exactly ``encode(code, u)`` including zero-LLR tie zeros,
+        # testbench.cc:177-183). Used by the hybrid decoder's fused
+        # systematic/codeword output: subtree kernels emit their cw block
+        # in VMEM and the few upper XLA levels combine them node-wise
+        # (cw = [cw_l * cw_r, cw_r]) instead of re-encoding the whole u.
+        self.want_cw = want_cw
 
     # -- f/g over the two halves of a node's soft input -----------------
     def _f(self, inp):
@@ -89,56 +100,79 @@ class _TreeDecoder:
         self.mesg.append(bit)
         return jnp.broadcast_to(bit, soft.shape)
 
-    def _spc(self, soft):
+    def _spc_hard(self, soft):
         ph = self.ph
         hard = ph.decide(soft)
         parity = jnp.prod(hard, axis=-1, keepdims=True).astype(hard.dtype)
         sabs = ph.qabs(soft)
         weak = jnp.min(sabs, axis=-1, keepdims=True)
-        hard = ph.flip(hard, parity, weak, sabs)
-        self.mesg.append(polar_transform(hard)[..., 1:])
-        return hard
-
-    def _rate1(self, soft):
-        hard = self.ph.signum(soft)
-        self.mesg.append(polar_transform(hard))
-        return hard
+        return ph.flip(hard, parity, weak, sabs)
 
     # -- the recursion ---------------------------------------------------
     def decode(self, node: Node, soft):
-        """Returns this node's hard codeword estimate; message blocks are
-        appended in emission order (in-order traversal, the msg-cursor
-        semantics of polar_decoder.hh)."""
+        """Returns ``(hard, cw)`` — this node's hard codeword estimate and
+        (when ``want_cw``) its re-encoded codeword-estimate block, else
+        None. Message blocks are appended in emission order (in-order
+        traversal, the msg-cursor semantics of polar_decoder.hh). cw
+        values live in {-1, 0, +1}; plain multiply is exact there, so the
+        track is bit-identical to ``encode(code, u)``."""
         kind = node.kind
         ph = self.ph
+        cw = self.want_cw
         if self.subtree_kernel_for is not None and kind in (
             "branch", "rate0_right", "rate1_comb"
         ):
             kernel = self.subtree_kernel_for(node)
             if kernel is not None:
-                u, hard = kernel(soft)
-                self.mesg.append(u.astype(soft.dtype))
-                return hard.astype(soft.dtype)
+                outs = kernel(soft)
+                self.mesg.append(outs[0].astype(soft.dtype))
+                hard = outs[1].astype(soft.dtype)
+                return hard, (outs[2].astype(soft.dtype) if cw else None)
         if kind == "rate0":
-            return jnp.ones_like(soft)
+            ones = jnp.ones_like(soft)
+            return ones, (ones if cw else None)
         if kind == "rate1":
-            return self._rate1(soft)
+            hard = ph.signum(soft)
+            t = polar_transform(hard)
+            self.mesg.append(t)
+            return hard, (polar_transform(t) if cw else None)
         if kind == "rep":
-            return self._rep(soft)
+            hard = self._rep(soft)
+            # u_segment = [+1,...,+1,bit] → cw = broadcast(bit) = hard
+            return hard, (hard if cw else None)
         if kind == "spc":
-            return self._spc(soft)
+            hard = self._spc_hard(soft)
+            v = polar_transform(hard)
+            self.mesg.append(v[..., 1:])
+            cw_v = None
+            if cw:
+                # u_segment = [+1 (frozen), v_1..v_{L-1}]
+                cw_v = polar_transform(
+                    jnp.concatenate([jnp.ones_like(v[..., :1]), v[..., 1:]],
+                                    axis=-1))
+            return hard, cw_v
         if kind == "rate0_right":
-            hard_r = self.decode(node.right, self._g_rate0(soft))
-            return jnp.concatenate([hard_r, hard_r], axis=-1)
+            hard_r, cw_r = self.decode(node.right, self._g_rate0(soft))
+            return (jnp.concatenate([hard_r, hard_r], axis=-1),
+                    jnp.concatenate([cw_r, cw_r], axis=-1) if cw else None)
         if kind == "rate1_comb":
-            hard_l = self.decode(node.left, self._f(soft))
+            hard_l, cw_l = self.decode(node.left, self._f(soft))
             hard_r = ph.signum(self._g(hard_l, soft))
-            self.mesg.append(polar_transform(hard_r))
-            return jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r], axis=-1)
+            t = polar_transform(hard_r)
+            self.mesg.append(t)
+            cw_v = None
+            if cw:
+                cw_r = polar_transform(t)
+                cw_v = jnp.concatenate([cw_l * cw_r, cw_r], axis=-1)
+            return (jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r],
+                                    axis=-1), cw_v)
         if kind == "branch":
-            hard_l = self.decode(node.left, self._f(soft))
-            hard_r = self.decode(node.right, self._g(hard_l, soft))
-            return jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r], axis=-1)
+            hard_l, cw_l = self.decode(node.left, self._f(soft))
+            hard_r, cw_r = self.decode(node.right, self._g(hard_l, soft))
+            return (jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r],
+                                    axis=-1),
+                    jnp.concatenate([cw_l * cw_r, cw_r], axis=-1)
+                    if cw else None)
         raise AssertionError(kind)  # pragma: no cover
 
 
@@ -216,6 +250,12 @@ def make_fastssc_decoder(
     info = code.info_indices
 
     subtree_kernel_for = None
+    # fused codeword track: with subtree kernels active (and the SSA body,
+    # which supports the cw track), non-u outputs skip the whole-vector
+    # XLA re-encode — each kernel emits its cw block in VMEM and the few
+    # upper XLA levels combine them node-wise. Bit-exact either way.
+    use_fused_cw = output != "u" and kernel_level is not None \
+        and kernel_style == "ssa"
     if kernel_level is not None:
         import jax.numpy as _jnp
 
@@ -243,6 +283,7 @@ def make_fastssc_decoder(
                     compute_dtype=kdtype,
                     interpret=kernel_interpret,
                     style=kernel_style,
+                    emit_cw=use_fused_cw,
                 ))
             return cache[key]
 
@@ -261,8 +302,8 @@ def make_fastssc_decoder(
                 llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         ph, work_dtype = _resolve_arith(compute, llrs.dtype)
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
-        dec = _TreeDecoder(ph, subtree_kernel_for)
-        dec.decode(tree, x)
+        dec = _TreeDecoder(ph, subtree_kernel_for, want_cw=use_fused_cw)
+        _, cw = dec.decode(tree, x)
         u = jnp.concatenate(dec.mesg, axis=-1)
         out_dtype = output_dtype or u.dtype
 
@@ -272,7 +313,8 @@ def make_fastssc_decoder(
 
         if output == "u":
             return cast(u)
-        cw = reencode(code, u)
+        if cw is None:
+            cw = reencode(code, u)
         if output == "systematic":
             return cast(cw[..., info])
         if output == "codeword":

@@ -292,22 +292,39 @@ class _SsaBuilder:
         self.moff += rows
 
     def node(self, node: Node, soft, safe: bool, cabs=None,
-             need_hard: bool = True):
-        """Returns the node's hard estimate as a value (or None when no
-        ancestor consumes it)."""
+             need_hard: bool = True, need_cw: bool = False):
+        """Returns ``(hard, cw)`` — the node's hard estimate and its
+        **re-encoded codeword estimate** ``T(u_segment)`` (frozen slots
+        forced to +1, the testbench re-encode semantics
+        ``testbench.cc:177-183``); each is None unless requested.
+
+        ``cw`` is NOT the internal hard estimate: the two differ whenever
+        zero-LLR ties propagate zeros through the hard track (DESIGN.md
+        §5's root-hard rejection). Carrying the cw track through the
+        recursion fuses the systematic/codeword epilogue into the kernel
+        — node-wise ``cw = concat(cw_l * cw_r, cw_r)`` with leaf
+        transforms — at a fraction of the XLA re-encode's HBM cost,
+        while staying bit-exact with ``encode(code, u)``."""
         kind = node.kind
         if kind == "rate0":
-            return jnp.ones_like(soft) if need_hard else None
+            ones = jnp.ones_like(soft) if (need_hard or need_cw) else None
+            return (ones if need_hard else None,
+                    ones if need_cw else None)
         if kind == "rate1":
             hard = _isign(soft)
-            self._emit(_transform_value(hard))
-            return hard if need_hard else None
+            t = _transform_value(hard)
+            self._emit(t)
+            # all slots are info bits: u_segment = t, cw = T(t)
+            return (hard if need_hard else None,
+                    _transform_value(t) if need_cw else None)
         if kind == "rep":
             bit = _isign(_fold(soft, _sat_add))
             self._emit(bit)
-            if need_hard:
-                return jnp.broadcast_to(bit, soft.shape)
-            return None
+            # u_segment = [+1,...,+1,bit] → T is broadcast(bit), exactly
+            # the hard estimate (holds for bit == 0 too)
+            bc = (jnp.broadcast_to(bit, soft.shape)
+                  if (need_hard or need_cw) else None)
+            return (bc if need_hard else None, bc if need_cw else None)
         if kind == "spc":
             hard = _decide(soft)
             parity = _fold(hard, jnp.multiply)
@@ -316,31 +333,43 @@ class _SsaBuilder:
             not_tie = jnp.minimum(sabs - weak, jnp.asarray(1, sabs.dtype))
             one = jnp.asarray(1, hard.dtype)
             hard = hard * (not_tie + (one - not_tie) * parity)
-            self._emit(_transform_value(hard)[1:])
-            return hard if need_hard else None
+            v = _transform_value(hard)
+            self._emit(v[1:])
+            cw = None
+            if need_cw:
+                # u_segment = [+1 (frozen), v_1..v_{L-1}]
+                cw = _transform_value(
+                    jnp.concatenate([jnp.ones_like(v[:1]), v[1:]], axis=0))
+            return (hard if need_hard else None, cw)
         half = soft.shape[0] // 2
         a, b = soft[:half], soft[half:]
         if kind == "rate0_right":
-            hr = self.node(node.right, _sat_add(a, b), safe=False,
-                           need_hard=need_hard)
-            if need_hard:
-                return jnp.concatenate([hr, hr], axis=0)
-            return None
+            hr, cwr = self.node(node.right, _sat_add(a, b), safe=False,
+                                need_hard=need_hard, need_cw=need_cw)
+            # left half all-frozen: u_lo = ones → cw = [cw_r, cw_r]
+            return (jnp.concatenate([hr, hr], axis=0) if need_hard else None,
+                    jnp.concatenate([cwr, cwr], axis=0) if need_cw else None)
         ap, bp = _guard(a, safe), _guard(b, safe)
         fabs = _KernelBuilder._f_abs(ap, bp, cabs, half)
-        hl = self.node(node.left, _isign(a * b) * fabs, safe=True, cabs=fabs)
+        hl, cwl = self.node(node.left, _isign(a * b) * fabs, safe=True,
+                            cabs=fabs, need_cw=need_cw)
         if kind == "rate1_comb":
             hr = _isign(_sat_g(hl, ap, b))
-            self._emit(_transform_value(hr))
-            if need_hard:
-                return jnp.concatenate([hl * hr, hr], axis=0)
-            return None
+            t = _transform_value(hr)
+            self._emit(t)
+            cw = None
+            if need_cw:
+                cwr = _transform_value(t)
+                cw = jnp.concatenate([cwl * cwr, cwr], axis=0)
+            return (jnp.concatenate([hl * hr, hr], axis=0)
+                    if need_hard else None, cw)
         if kind == "branch":
-            hr = self.node(node.right, _sat_g(hl, ap, b), safe=False,
-                           need_hard=need_hard)
-            if need_hard:
-                return jnp.concatenate([hl * hr, hr], axis=0)
-            return None
+            hr, cwr = self.node(node.right, _sat_g(hl, ap, b), safe=False,
+                                need_hard=need_hard, need_cw=need_cw)
+            return (jnp.concatenate([hl * hr, hr], axis=0)
+                    if need_hard else None,
+                    jnp.concatenate([cwl * cwr, cwr], axis=0)
+                    if need_cw else None)
         raise AssertionError(kind)  # pragma: no cover
 
 
@@ -350,15 +379,40 @@ def _ssa_decoder_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref):
            need_hard=False)
 
 
+def _ssa_decoder_kernel_cw(tree: Node, compute_dtype, llr_ref, mesg_ref,
+                           cw_ref):
+    """Whole-code SSA kernel that also emits the re-encoded codeword
+    estimate — the fused in-VMEM replacement for the XLA re-encode
+    epilogue (``testbench.cc:177-183``). Measured ~5x cheaper end-to-end
+    for systematic output at N=8192 than decode-u + XLA re-encode."""
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    _, cw = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                   need_hard=False, need_cw=True)
+    cw_ref[...] = cw.astype(cw_ref.dtype)
+
+
 def _ssa_subtree_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref,
                         hard_ref):
     """SSA twin of _subtree_kernel: the hard estimate IS needed (the
     enclosing XLA recursion's g/combine consume it), returned as the
     recursion's value and stored once."""
     b = _SsaBuilder(mesg_ref, compute_dtype)
-    hard = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
-                  need_hard=True)
+    hard, _ = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                     need_hard=True)
     hard_ref[...] = hard.astype(hard_ref.dtype)
+
+
+def _ssa_subtree_kernel_cw(tree: Node, compute_dtype, llr_ref, mesg_ref,
+                           hard_ref, cw_ref):
+    """Subtree kernel emitting u, hard AND the codeword-estimate track —
+    used by the hybrid decoder's fused systematic/codeword output (the
+    XLA upper levels combine per-subtree cw blocks node-wise instead of
+    re-encoding the whole u vector)."""
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    hard, cw = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                      need_hard=True, need_cw=True)
+    hard_ref[...] = hard.astype(hard_ref.dtype)
+    cw_ref[...] = cw.astype(cw_ref.dtype)
 
 
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
@@ -389,6 +443,7 @@ def make_subtree_decoder(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     style: str = "ssa",
+    emit_cw: bool = False,
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -401,15 +456,24 @@ def make_subtree_decoder(
 
     ``style``: ``"ssa"`` (default — value-passing body, measured faster)
     or ``"scratch"`` (explicit VMEM pyramid). Bit-identical outputs.
+
+    ``emit_cw`` (SSA only): also return the subtree's re-encoded
+    codeword-estimate block → ``(u, hard, cw)``; the hybrid's fused
+    systematic/codeword output combines these node-wise in XLA instead
+    of re-encoding the full u vector (``testbench.cc:177-183``
+    semantics, bit-exact).
     """
     n = 1 << tree.level
     k = tree.mesg_bits
     if k < 1:
         raise ValueError("kernelize only nodes that emit message bits")
     if style == "ssa":
-        kernel = functools.partial(_ssa_subtree_kernel, tree, compute_dtype)
+        body = _ssa_subtree_kernel_cw if emit_cw else _ssa_subtree_kernel
+        kernel = functools.partial(body, tree, compute_dtype)
         scratch_shapes = []
     elif style == "scratch":
+        if emit_cw:
+            raise ValueError("emit_cw requires the SSA kernel style")
         kernel = functools.partial(_subtree_kernel, tree, n, compute_dtype)
         scratch_shapes = [
             pltpu.VMEM((2 * n, frame_tile), compute_dtype),  # soft pyramid
@@ -417,6 +481,9 @@ def make_subtree_decoder(
         ]
     else:
         raise ValueError(f"unknown kernel style {style!r}")
+
+    n_out = 3 if emit_cw else 2
+    out_rows = (k, n, n)[:n_out]
 
     def call(soft_t):  # (len, B) element-major
         bt = frame_tile
@@ -428,15 +495,14 @@ def make_subtree_decoder(
                 pl.BlockSpec((n, bt), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((k, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+            out_specs=tuple(
+                pl.BlockSpec((rows, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+                for rows in out_rows
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((k, soft_t.shape[1]), jnp.int8),
-                jax.ShapeDtypeStruct((n, soft_t.shape[1]), jnp.int8),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows, soft_t.shape[1]), jnp.int8)
+                for rows in out_rows
             ),
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
@@ -452,8 +518,7 @@ def make_subtree_decoder(
                 f"batch {soft.shape[0]} not a multiple of frame_tile "
                 f"{frame_tile} (pad the batch once at the top level)"
             )
-        mesg_t, hard_t = call(soft.T)
-        return mesg_t.T, hard_t.T
+        return tuple(o.T for o in call(soft.T))
 
     return decode
 
@@ -468,6 +533,7 @@ def make_pallas_decoder(
     output_dtype=jnp.int8,
     interpret: bool = False,
     style: str = "scratch",
+    output: str = "u",
 ):
     """Build the Pallas Fast-SSC decoder: LLRs ``(B, N)`` int8 → u ``(B, K)``.
 
@@ -484,6 +550,13 @@ def make_pallas_decoder(
     ``style``: ``"scratch"`` (explicit VMEM soft-pyramid/hard-stack) or
     ``"ssa"`` (value-passing body, compiler-managed lifetimes — no
     scratch buffers). Bit-identical outputs.
+
+    ``output`` (SSA style only for non-``"u"``): ``"u"`` (default),
+    ``"systematic"``, ``"codeword"``, or ``"both"`` — same contract as
+    :func:`~polar_tpu.decode.fastssc.make_fastssc_decoder`. Non-u modes
+    fuse the re-encode into the kernel via the codeword-estimate track
+    (bit-exact with ``encode(code, u)``, incl. zero-LLR tie zeros),
+    replacing the XLA re-encode epilogue and its HBM round trips.
     """
     if tree is None:
         tree = compile_code(code)
@@ -492,10 +565,16 @@ def make_pallas_decoder(
         raise ValueError("frame_tile must be a multiple of 128")
     if style not in ("scratch", "ssa"):
         raise ValueError(f"unknown kernel style {style!r}")
+    if output not in ("u", "systematic", "codeword", "both"):
+        raise ValueError(f"unknown output mode {output!r}")
+    if output != "u" and style != "ssa":
+        raise ValueError("non-u output modes require the SSA kernel style")
     storage_dtype = storage_dtype or compute_dtype
+    want_cw = output != "u"
 
     if style == "ssa":
-        kernel = functools.partial(_ssa_decoder_kernel, tree, compute_dtype)
+        body = _ssa_decoder_kernel_cw if want_cw else _ssa_decoder_kernel
+        kernel = functools.partial(body, tree, compute_dtype)
         scratch_shapes = []
     else:
         kernel = functools.partial(_decoder_kernel, tree, n, compute_dtype)
@@ -504,9 +583,20 @@ def make_pallas_decoder(
             pltpu.VMEM((n, frame_tile), storage_dtype),      # hard stack
         ]
 
+    out_rows = (k, n) if want_cw else (k,)
+
     def call(llr_t):  # (N, B) element-major
         bt = frame_tile
         grid = llr_t.shape[1] // bt
+        specs = tuple(
+            pl.BlockSpec((rows, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for rows in out_rows
+        )
+        shapes = tuple(
+            jax.ShapeDtypeStruct((rows, llr_t.shape[1]), output_dtype)
+            for rows in out_rows
+        )
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -514,9 +604,8 @@ def make_pallas_decoder(
                 pl.BlockSpec((n, bt), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((k, llr_t.shape[1]), output_dtype),
+            out_specs=specs if want_cw else specs[0],
+            out_shape=shapes if want_cw else shapes[0],
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
@@ -526,6 +615,8 @@ def make_pallas_decoder(
         )(llr_t)
         return out
 
+    info = np.flatnonzero(code.frozen == 0)
+
     def decode(llrs):
         if llrs.ndim != 2:
             raise ValueError("pallas decoder expects (batch, N) LLRs")
@@ -533,8 +624,14 @@ def make_pallas_decoder(
         pad = (-b) % frame_tile
         if pad:
             llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
-        mesg_t = call(llrs.T)
-        return mesg_t.T[:b]
+        if not want_cw:
+            return call(llrs.T).T[:b]
+        mesg_t, cw_t = call(llrs.T)
+        if output == "systematic":
+            return cw_t.T[:b, info]
+        if output == "codeword":
+            return cw_t.T[:b]
+        return mesg_t.T[:b], cw_t.T[:b]
 
     def decode_lane_major(llr_t):
         """Zero-transpose entry point: LLRs ``(N, B)`` → u ``(K, B)``.

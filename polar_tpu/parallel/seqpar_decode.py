@@ -201,11 +201,11 @@ class _ShardedTreeDecoder:
         if self.batch_split and inp.shape[0] % self.n_dev == 0:
             nb = inp.shape[0] // self.n_dev
             mine = jax.lax.dynamic_slice_in_dim(inp, self.d * nb, nb, axis=0)
-            hard_mine = dec.decode(node, mine)
+            hard_mine, _ = dec.decode(node, mine)
             gathered = jax.lax.all_gather(hard_mine, self.axis)  # (D, nb, S)
             hard = gathered.reshape(inp.shape)
         else:
-            hard = dec.decode(node, inp)
+            hard, _ = dec.decode(node, inp)
         u = jnp.ones_like(hard)
         if dec.mesg:
             mesg = jnp.concatenate(dec.mesg, axis=-1)

@@ -26,9 +26,10 @@ def test_tpu_selection_descriptors():
     assert make_auto_decoder(pt.make_code(13, rate=0.5), backend="tpu")[1] == \
         "pallas-ssa-f32-t128"
     assert make_auto_decoder(pt.make_code(14, rate=0.5), backend="tpu")[1] == \
-        "hybrid-kl11-t256"
-    assert "reencode" in make_auto_decoder(
-        pt.make_code(8, rate=0.5), backend="tpu", output="systematic")[1]
+        "hybrid-kl13-t128"
+    assert make_auto_decoder(
+        pt.make_code(8, rate=0.5), backend="tpu",
+        output="systematic")[1] == "pallas-ssa-f32-t512-fusedcw"
 
 
 def test_systematic_wrapper_matches_reference_path():

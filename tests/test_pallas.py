@@ -96,6 +96,43 @@ def test_pallas_saturation_edges():
         np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("m,rate", [(5, 0.5), (8, 0.5), (7, 0.25),
+                                    (7, 0.75)])
+@pytest.mark.parametrize("output", ["systematic", "codeword", "both"])
+def test_pallas_fused_output_modes(m, rate, output):
+    """The SSA kernel's fused codeword-estimate track must be bit-exact
+    with the XLA path's re-encode epilogue — including zero-LLR ties,
+    where the internal hard track and the re-encode genuinely differ
+    (DESIGN.md §5's root-hard rejection). Zero-heavy LLRs force those
+    ties."""
+    code = pt.make_code(m, rate=rate)
+    rng = np.random.default_rng(m * 10 + int(rate * 4))
+    llr = np.concatenate([
+        rng.integers(-128, 128, (64, code.N)),
+        # zero-heavy rows: ~60% exact zeros → tie propagation everywhere
+        rng.integers(-2, 3, (64, code.N)),
+        rng.choice(np.array([-128, -127, 0, 127]), (64, code.N)),
+    ]).astype(np.int8)
+    llr = jnp.asarray(llr)
+    ref = jax.jit(make_fastssc_decoder(code, output=output,
+                                       output_dtype=jnp.int8))(llr)
+    got = make_pallas_decoder(code, frame_tile=128, interpret=True,
+                              style="ssa", output=output)(llr)
+    if output == "both":
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    else:
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_fused_output_requires_ssa():
+    code = pt.make_code(5, rate=0.5)
+    with pytest.raises(ValueError):
+        make_pallas_decoder(code, output="codeword", style="scratch")
+    with pytest.raises(ValueError):
+        make_pallas_decoder(code, output="bogus")
+
+
 def test_pallas_lane_major_entry():
     """Zero-transpose lane-major path must equal the (B, N) path."""
     import jax.numpy as jnp
