@@ -104,14 +104,20 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         codeword = enc(code, message)
         llrs = awgn_llrs(knoise, codeword, snr_db, dtype)
         decoded = decoder(llrs)
-        errs = decoded.astype(jnp.int32) * message.astype(jnp.int32) <= 0
+        # counters in the bool domain — no (B, N)/(B, K) int32
+        # intermediates. Exact equivalences for message/codeword in
+        # {-1,+1} and decoded/llrs int8:
+        #   decoded*message <= 0  ⟺  decoded==0 ∨ sign(decoded)≠sign(message)
+        #   llrs*codeword   <  0  ⟺  llrs≠0 ∧ sign(llrs)≠sign(codeword)
+        zero_d = decoded == 0
+        errs = zero_d | ((decoded < 0) != (message < 0))
         frame_err = jnp.any(errs, axis=-1)
         return {
             "uncorrected_errors": jnp.sum(errs, dtype=jnp.int32),
             "frame_errors": jnp.sum(frame_err, dtype=jnp.int32),
-            "ambiguity_erasures": jnp.sum(decoded == 0, dtype=jnp.int32),
+            "ambiguity_erasures": jnp.sum(zero_d, dtype=jnp.int32),
             "awgn_errors": jnp.sum(
-                llrs.astype(jnp.int32) * codeword.astype(jnp.int32) < 0,
+                (llrs != 0) & ((llrs < 0) != (codeword < 0)),
                 dtype=jnp.int32,
             ),
             "quantization_erasures": jnp.sum(llrs == 0, dtype=jnp.int32),
@@ -121,7 +127,8 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
 
 
 def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
-              decoder=None, compute=None):
+              decoder=None, compute=None, fused: str | bool = "auto",
+              fused_frame_tile: int = 256):
     """Build the jitted Monte-Carlo step: ``step(key, snr_db, batch)``.
 
     Counters come back as int32 device scalars and are accumulated into
@@ -129,10 +136,44 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     chain (message gen, encode, channel, decode, scoring) runs in one XLA
     program on device; ``snr_db`` is traced, so one compilation serves the
     entire waterfall sweep.
+
+    ``fused``: ``"auto"`` (default) uses the single-Pallas-kernel step
+    (:func:`polar_tpu.ops.pallas.step_kernel.make_pallas_step` — message
+    gen, encode, AWGN, quantize, decode and counters all in VMEM, in-
+    kernel PRNG) on the TPU backend for systematic int8 whole-code-kernel
+    sizes; batches that aren't a ``fused_frame_tile`` multiple fall back
+    to the XLA chain at trace time. ``True`` forces it (raises if
+    unsupported), ``False`` disables. The fused step draws its own PRNG
+    streams (per key + tile), so its waterfall is statistically — not
+    bitwise — identical to the XLA chain's (both are Monte-Carlo over
+    the same channel law; tests pin the exactness of everything but the
+    random draw).
     """
+    use_fused = False
+    if fused == "auto":
+        use_fused = (systematic and decoder is None and compute is None
+                     and jnp.dtype(dtype) == jnp.int8
+                     and 2 <= code.level <= 13
+                     and jax.default_backend() == "tpu")
+    elif fused:
+        if not systematic or compute is not None:
+            raise ValueError("fused step supports systematic int8 mode only")
+        use_fused = True
     body = make_step_body(code, systematic=systematic, dtype=dtype,
                           decoder=decoder, compute=compute)
-    return jax.jit(body, static_argnums=(2,))
+    if not use_fused:
+        return jax.jit(body, static_argnums=(2,))
+    from .ops.pallas.step_kernel import make_pallas_step
+
+    fused_body = make_pallas_step(code, frame_tile=fused_frame_tile,
+                                  prng="native")
+
+    def dispatch(key, snr_db, batch: int):
+        if batch % fused_frame_tile == 0:
+            return fused_body(key, snr_db, batch)
+        return body(key, snr_db, batch)
+
+    return jax.jit(dispatch, static_argnums=(2,))
 
 
 def run_point(

@@ -282,11 +282,15 @@ class _SsaBuilder:
     saturation order — bit-exact with the scratch kernel (tested)."""
 
     def __init__(self, mesg, compute_dtype):
+        # mesg may be None: consumers that only need the cw track (the
+        # fused Monte-Carlo step kernel) skip the u-output stores.
         self.mesg = mesg
         self.moff = 0
         self.cdtype = compute_dtype
 
     def _emit(self, block):
+        if self.mesg is None:
+            return
         rows = block.shape[0]
         self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows

@@ -170,18 +170,101 @@ def stage_m20_probe():
              "ts": time.time()})
 
 
+def stage_stepopt():
+    """End-to-end step-rate with (a) bool-domain counters (no int32
+    elementwise products) and (b) the hardware RngBitGenerator PRNG
+    ("rbg" keys — threefry's bit mixing is ~10 VPU ops/word and the
+    steprate receipts show RNG+chain overhead at ~90% of the step after
+    the fused-cw decode)."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step_body
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    for m, batch in ((10, 32768), (13, 4096)):
+        code = pt.make_code(m, rate=0.5)
+        body = make_step_body(code, systematic=True)
+        for name, key in (
+            ("boolcnt", jax.random.PRNGKey(5)),
+            ("boolcnt-rbg", jax.random.key(5, impl="rbg")),
+        ):
+            t0 = time.perf_counter()
+            try:
+                rate = measure_step_rate(body, key, 0.0, batch, iters=32)
+                log({"cfg": f"m{m}-steprate-sys-{name}", "batch": batch,
+                     "fps": round(rate, 1),
+                     "measure_s": round(time.perf_counter() - t0, 1),
+                     "ts": time.time()})
+            except Exception as e:  # noqa: BLE001
+                log({"cfg": f"m{m}-steprate-sys-{name}",
+                     "error": f"{type(e).__name__}: {e}"[:300],
+                     "ts": time.time()})
+
+
+def stage_stepkernel():
+    """The fused Monte-Carlo step kernel on the real chip: native-PRNG
+    sanity (high-SNR zero errors; noisy-SNR BER vs the XLA step within
+    binomial tolerance) and step rate across tiles/sizes."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    # -- sanity: counters behave on the real chip (native PRNG path) ----
+    code = pt.make_code(10, rate=0.5)
+    try:
+        fused = jax.jit(make_pallas_step(code, frame_tile=256,
+                                         prng="native"),
+                        static_argnums=(2,))
+        clean = {k: int(v) for k, v in
+                 jax.device_get(fused(jax.random.PRNGKey(1), 12.0, 4096)).items()}
+        noisy = {k: int(v) for k, v in
+                 jax.device_get(fused(jax.random.PRNGKey(2), -1.0, 4096)).items()}
+        xla = pt.make_step(code, systematic=True, fused=False)
+        noisy_ref = {k: int(v) for k, v in
+                     jax.device_get(xla(jax.random.PRNGKey(3), -1.0, 4096)).items()}
+        log({"cfg": "stepkernel-native-sanity", "clean": clean,
+             "noisy": noisy, "noisy_xla": noisy_ref, "ts": time.time()})
+    except Exception as e:  # noqa: BLE001
+        log({"cfg": "stepkernel-native-sanity",
+             "error": f"{type(e).__name__}: {e}"[:600], "ts": time.time()})
+        return
+
+    # -- step rate across tiles and sizes ------------------------------
+    for m, batch, tiles in ((10, 32768, (256, 512)), (13, 4096, (128,)),
+                            (8, 32768, (512,))):
+        code = pt.make_code(m, rate=0.5)
+        for tile in tiles:
+            t0 = time.perf_counter()
+            try:
+                body = make_pallas_step(code, frame_tile=tile, prng="native")
+                rate = measure_step_rate(body, jax.random.PRNGKey(5), 0.0,
+                                         batch, iters=32)
+                log({"cfg": f"m{m}-stepkernel-native-t{tile}", "batch": batch,
+                     "fps": round(rate, 1),
+                     "measure_s": round(time.perf_counter() - t0, 1),
+                     "ts": time.time()})
+            except Exception as e:  # noqa: BLE001
+                log({"cfg": f"m{m}-stepkernel-native-t{tile}",
+                     "error": f"{type(e).__name__}: {e}"[:400],
+                     "ts": time.time()})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
                     choices=["gauge", "ladder", "ladder2", "steprate",
-                             "m20probe"])
+                             "m20probe", "stepopt", "stepkernel"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     {"gauge": stage_gauge, "ladder": stage_ladder,
      "ladder2": stage_ladder2, "steprate": stage_steprate,
-     "m20probe": stage_m20_probe}[args.stage]()
+     "m20probe": stage_m20_probe, "stepopt": stage_stepopt,
+     "stepkernel": stage_stepkernel}[args.stage]()
 
 
 if __name__ == "__main__":

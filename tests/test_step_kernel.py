@@ -1,0 +1,166 @@
+"""Fused Monte-Carlo step kernel (interpret mode on CPU).
+
+Exactness strategy: the ``inject`` mode feeds the SAME message symbols
+and normals to the kernel and to a reference XLA chain built from the
+tested-and-bit-exact pieces (encode_systematic, awgn math, fastssc
+systematic decode, bool-domain counters) — every counter must match
+exactly, f32 op order included. The ``bits`` mode is then proven equal
+to inject mode fed with the same bit-derived values, and the bit→
+uniform/normal/symbol helpers are validated directly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import polar_tpu as pt
+from polar_tpu.decode.fastssc import make_fastssc_decoder
+from polar_tpu.ops.pallas.step_kernel import (
+    _bits_to_normals, _bits_to_sym, _bits_to_unit, make_pallas_step)
+
+
+def _reference_counters(code, msg_sym_t, normals_t, snr_db):
+    """The XLA-chain counters on identical inputs, matching
+    polar_tpu.ber.make_step_body's math (testbench.cc:185-192)."""
+    info = code.info_indices
+    message = jnp.asarray(msg_sym_t).T[:, info].astype(jnp.int8)
+    codeword = pt.encode_systematic(code, message)
+    sigma2 = 0.5 * 10.0 ** (-jnp.float32(snr_db) / 10.0)
+    y = codeword.astype(jnp.float32) + jnp.sqrt(sigma2) * jnp.asarray(normals_t).T
+    llrs = jnp.clip(jnp.rint((2.0 / sigma2) * y), -128, 127).astype(jnp.int8)
+    decoded = jax.jit(make_fastssc_decoder(code, output="systematic",
+                                           output_dtype=jnp.int8))(llrs)
+    zero_d = decoded == 0
+    errs = zero_d | ((decoded < 0) != (message < 0))
+    return {
+        "uncorrected_errors": int(jnp.sum(errs, dtype=jnp.int32)),
+        "frame_errors": int(jnp.sum(jnp.any(errs, axis=-1), dtype=jnp.int32)),
+        "ambiguity_erasures": int(jnp.sum(zero_d, dtype=jnp.int32)),
+        "awgn_errors": int(jnp.sum(
+            (llrs != 0) & ((llrs < 0) != (codeword < 0)), dtype=jnp.int32)),
+        "quantization_erasures": int(jnp.sum(llrs == 0, dtype=jnp.int32)),
+    }
+
+
+@pytest.mark.parametrize("m,rate", [(5, 0.5), (8, 0.5), (7, 0.25)])
+@pytest.mark.parametrize("snr_db", [-2.0, 1.0])
+def test_inject_counters_match_xla_chain_exactly(m, rate, snr_db):
+    code = pt.make_code(m, rate=rate)
+    rng = np.random.default_rng(m * 7 + int(snr_db))
+    batch = 256
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, batch))).astype(np.int8))
+    normals_t = jnp.asarray(rng.standard_normal((code.N, batch), np.float32))
+    step = make_pallas_step(code, frame_tile=128, interpret=True,
+                            prng="inject")
+    got = {k: int(v) for k, v in step(msg_t, normals_t, snr_db).items()}
+    ref = _reference_counters(code, msg_t, normals_t, snr_db)
+    assert got == ref
+    # the point is a noisy one: counters must actually be non-trivial
+    if snr_db < 0:
+        assert got["awgn_errors"] > 0
+
+
+def test_inject_low_noise_perfect_recovery():
+    code = pt.make_code(6, rate=0.5)
+    rng = np.random.default_rng(0)
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, 128))).astype(np.int8))
+    normals_t = jnp.asarray(rng.standard_normal((code.N, 128), np.float32))
+    out = make_pallas_step(code, frame_tile=128, interpret=True,
+                           prng="inject")(msg_t, normals_t, 15.0)
+    assert int(out["uncorrected_errors"]) == 0
+    assert int(out["frame_errors"]) == 0
+    assert int(out["awgn_errors"]) == 0
+
+
+def test_bits_mode_equals_inject_of_derived_values():
+    """bits mode == inject mode fed the bit-derived symbols/normals —
+    proves the in-kernel derivation path end-to-end."""
+    code = pt.make_code(7, rate=0.5)
+    key = jax.random.PRNGKey(3)
+    batch, snr_db = 256, -1.0
+    bits = jax.random.bits(key, (2 * code.N, batch), jnp.uint32)
+    a = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="bits")(key, snr_db, batch)
+    b = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="inject")(
+        _bits_to_sym(bits[code.N:]), _bits_to_normals(bits[:code.N]), snr_db)
+    assert {k: int(v) for k, v in a.items()} == \
+        {k: int(v) for k, v in b.items()}
+
+
+def test_bits_to_unit_range_and_mean():
+    bits = jax.random.bits(jax.random.PRNGKey(1), (1 << 18,), jnp.uint32)
+    u = np.asarray(_bits_to_unit(bits))
+    assert u.min() > 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.var() - 1 / 12) < 0.002
+
+
+def test_bits_to_normals_distribution():
+    bits = jax.random.bits(jax.random.PRNGKey(2), (1 << 10, 256), jnp.uint32)
+    n = np.asarray(_bits_to_normals(bits)).ravel()
+    assert abs(n.mean()) < 0.01
+    assert abs(n.std() - 1.0) < 0.01
+    # tails exist (Box-Muller, not a CLT approximation): P(|n|>3) ≈ 0.27%
+    frac3 = np.mean(np.abs(n) > 3.0)
+    assert 0.001 < frac3 < 0.006
+    # fourth moment of a standard normal is 3 (kurtosis check)
+    assert abs(np.mean(n**4) - 3.0) < 0.15
+
+
+def test_bits_to_sym_balance():
+    bits = jax.random.bits(jax.random.PRNGKey(4), (1 << 18,), jnp.uint32)
+    s = np.asarray(_bits_to_sym(bits))
+    assert set(np.unique(s)) == {-1.0, 1.0}
+    assert abs(s.mean()) < 0.01
+
+
+def test_step_kernel_validation_errors():
+    code = pt.make_code(5, rate=0.5)
+    with pytest.raises(ValueError):
+        make_pallas_step(code, prng="bogus")
+    step = make_pallas_step(code, frame_tile=128, interpret=True,
+                            prng="bits")
+    with pytest.raises(ValueError):
+        step(jax.random.PRNGKey(0), 0.0, 100)  # not a tile multiple
+
+
+def test_make_step_fused_auto_stays_xla_on_cpu():
+    """fused="auto" must not pick the (TPU-only) kernel on CPU; the step
+    still works end-to-end."""
+    code = pt.make_code(5, rate=0.5)
+    step = pt.make_step(code, systematic=True)  # fused="auto"
+    out = jax.device_get(step(jax.random.PRNGKey(0), 10.0, 64))
+    assert int(out["uncorrected_errors"]) == 0
+
+
+def test_make_step_fused_rejects_unsupported_modes():
+    code = pt.make_code(5, rate=0.5)
+    with pytest.raises(ValueError):
+        pt.make_step(code, systematic=False, fused=True)
+    with pytest.raises(ValueError):
+        pt.make_step(code, compute="qfloat", fused=True)
+
+
+def test_bits_step_statistics_track_xla_step():
+    """Same-SNR BER from the fused step and the XLA step must agree
+    statistically (different RNG streams; tolerance from binomial CI)."""
+    code = pt.make_code(6, rate=0.5)
+    snr_db, batch, rounds = 0.0, 512, 4
+    fused = make_pallas_step(code, frame_tile=128, interpret=True,
+                             prng="bits")
+    xla = pt.make_step(code, systematic=True)
+    tot_f = tot_x = 0
+    key = jax.random.PRNGKey(11)
+    for _ in range(rounds):
+        key, k1, k2 = jax.random.split(key, 3)
+        tot_f += int(fused(k1, snr_db, batch)["uncorrected_errors"])
+        tot_x += int(xla(k2, snr_db, batch)["uncorrected_errors"])
+    bits_total = rounds * batch * code.K
+    ber_f, ber_x = tot_f / bits_total, tot_x / bits_total
+    assert ber_f > 0 and ber_x > 0
+    # ~65k info bits/side; BER ~1e-2 → σ_rel ≈ 4%; allow 3.5x combined
+    assert abs(ber_f - ber_x) < 0.3 * max(ber_f, ber_x)
