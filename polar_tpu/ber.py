@@ -149,6 +149,14 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     the same channel law; tests pin the exactness of everything but the
     random draw).
     """
+    body = _make_dispatch_body(code, systematic=systematic, dtype=dtype,
+                               decoder=decoder, compute=compute, fused=fused,
+                               fused_frame_tile=fused_frame_tile)
+    return jax.jit(body, static_argnums=(2,))
+
+
+def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
+                        fused_frame_tile):
     use_fused = False
     if fused == "auto":
         use_fused = (systematic and decoder is None and compute is None
@@ -162,7 +170,7 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     body = make_step_body(code, systematic=systematic, dtype=dtype,
                           decoder=decoder, compute=compute)
     if not use_fused:
-        return jax.jit(body, static_argnums=(2,))
+        return body
     from .ops.pallas.step_kernel import make_pallas_step
 
     fused_body = make_pallas_step(code, frame_tile=fused_frame_tile,
@@ -173,7 +181,41 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
             return fused_body(key, snr_db, batch)
         return body(key, snr_db, batch)
 
-    return jax.jit(dispatch, static_argnums=(2,))
+    return dispatch
+
+
+def make_multi_step(code: PolarCode, *, systematic: bool = True,
+                    dtype=jnp.int8, decoder=None, compute=None,
+                    fused: str | bool = "auto", fused_frame_tile: int = 256):
+    """Build ``multi(key, snr_db, batch, steps)`` — ``steps`` Monte-Carlo
+    steps chained on device (keys split inside a ``fori_loop``), counters
+    accumulated and pulled ONCE. Amortizes the per-call dispatch +
+    host-transfer latency, which at fused-step rates is a real fraction
+    of each step (the campaign's analog of the benchmark's chained
+    runner). Counter totals stay in int32: keep
+    ``steps * batch * K < 2^31`` (asserted).
+    """
+    body = _make_dispatch_body(code, systematic=systematic, dtype=dtype,
+                               decoder=decoder, compute=compute, fused=fused,
+                               fused_frame_tile=fused_frame_tile)
+
+    def multi(key, snr_db, batch: int, steps: int):
+        assert steps * batch * code.K < (1 << 31), \
+            "int32 counter overflow risk: lower steps_per_call"
+
+        def loop_body(_, carry):
+            k, acc = carry
+            k, sub = jax.random.split(k)
+            out = body(sub, snr_db, batch)
+            return k, {name: acc[name] + out[name] for name in acc}
+
+        zeros = {name: jnp.int32(0) for name in (
+            "uncorrected_errors", "frame_errors", "ambiguity_erasures",
+            "awgn_errors", "quantization_erasures")}
+        _, acc = jax.lax.fori_loop(0, steps, loop_body, (key, zeros))
+        return acc
+
+    return jax.jit(multi, static_argnums=(2, 3))
 
 
 def run_point(
@@ -189,17 +231,31 @@ def run_point(
     target_bit_errors: int = 1000,
     decode_fn=None,
     measure_throughput: bool = False,
+    steps_per_call: int = 1,
 ) -> SnrPoint:
     """Measure one SNR point, stopping once enough errors are seen
-    (``testbench.cc:125``: errors >= 1000 or the frame budget is hit)."""
+    (``testbench.cc:125``: errors >= 1000 or the frame budget is hit).
+
+    ``steps_per_call`` > 1 chains that many Monte-Carlo steps on device
+    per host round trip (``step`` must then be a
+    :func:`make_multi_step` callable); the early-stop check runs at the
+    coarser granularity.
+    """
     if step is None:
-        step = make_step(code, systematic=systematic, dtype=dtype)
+        if steps_per_call > 1:
+            step = make_multi_step(code, systematic=systematic, dtype=dtype)
+        else:
+            step = make_step(code, systematic=systematic, dtype=dtype)
     totals = {}
     frames = 0
     while frames < max_frames and totals.get("uncorrected_errors", 0) < target_bit_errors:
         key, sub = jax.random.split(key)
-        out = jax.device_get(step(sub, snr_db, batch))
-        frames += batch
+        if steps_per_call > 1:
+            out = jax.device_get(step(sub, snr_db, batch, steps_per_call))
+            frames += batch * steps_per_call
+        else:
+            out = jax.device_get(step(sub, snr_db, batch))
+            frames += batch
         for k, v in out.items():
             totals[k] = totals.get(k, 0) + int(v)
 
@@ -262,6 +318,7 @@ def run_campaign(
     compute=None,
     checkpoint_path=None,
     decoder=None,
+    steps_per_call: int = 1,
 ) -> CampaignResult:
     """Full waterfall sweep with the reference's early-stop rule: finish
     after ``stop_after_clean`` consecutive error-free points
@@ -291,8 +348,12 @@ def run_campaign(
                 code, output="systematic" if systematic else "u",
                 compute=compute, output_dtype=dtype,
             )
-    step = make_step(code, systematic=systematic, dtype=dtype, compute=compute,
-                     decoder=decoder)
+    if steps_per_call > 1:
+        step = make_multi_step(code, systematic=systematic, dtype=dtype,
+                               compute=compute, decoder=decoder)
+    else:
+        step = make_step(code, systematic=systematic, dtype=dtype,
+                         compute=compute, decoder=decoder)
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K,
                             systematic=systematic, seed=seed)
@@ -319,7 +380,7 @@ def run_campaign(
                 code, snr_r, key=sub, step=step, systematic=systematic,
                 dtype=dtype, batch=batch, max_frames=max_frames_per_point,
                 target_bit_errors=target_bit_errors,
-                measure_throughput=False,
+                measure_throughput=False, steps_per_call=steps_per_call,
             )
             if measure_throughput:
                 # Fast-SSC decode is data-independent (static shapes, no

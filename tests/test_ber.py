@@ -62,3 +62,33 @@ def test_nonsystematic_step():
     step = pt.make_step(CODE, systematic=False)
     out = step(jax.random.PRNGKey(5), 20.0, 64)
     assert int(out["uncorrected_errors"]) == 0
+
+
+def test_multi_step_equals_unrolled_single_steps():
+    """make_multi_step's on-device chain must produce exactly the totals
+    of the equivalent host-side split/step sequence."""
+    from polar_tpu.ber import make_multi_step
+
+    multi = make_multi_step(CODE, systematic=True)
+    single = pt.make_step(CODE, systematic=True)
+    key = jax.random.PRNGKey(77)
+    got = {k: int(v) for k, v in
+           jax.device_get(multi(key, 1.0, 128, 3)).items()}
+    ref = {}
+    k = key
+    for _ in range(3):
+        k, sub = jax.random.split(k)
+        out = jax.device_get(single(sub, 1.0, 128))
+        for name, v in out.items():
+            ref[name] = ref.get(name, 0) + int(v)
+    assert got == ref
+
+
+def test_campaign_steps_per_call():
+    res = pt.run_campaign(
+        CODE, batch=128, max_frames_per_point=512, target_bit_errors=100,
+        snr_range=(4.0, 12.0), snr_step=2.0, stop_after_clean=2,
+        measure_throughput=False, steps_per_call=2,
+    )
+    assert res.points and res.points[-1].bit_errors == 0
+    assert all(p.frames % 256 == 0 for p in res.points)
