@@ -128,7 +128,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
 
 def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
               decoder=None, compute=None, fused: str | bool = "auto",
-              fused_frame_tile: int = 256):
+              fused_frame_tile: int | None = None):
     """Build the jitted Monte-Carlo step: ``step(key, snr_db, batch)``.
 
     Counters come back as int32 device scalars and are accumulated into
@@ -140,9 +140,10 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     ``fused``: ``"auto"`` (default) uses the single-Pallas-kernel step
     (:func:`polar_tpu.ops.pallas.step_kernel.make_pallas_step` — message
     gen, encode, AWGN, quantize, decode and counters all in VMEM, in-
-    kernel PRNG) on the TPU backend for systematic int8 whole-code-kernel
-    sizes; batches that aren't a ``fused_frame_tile`` multiple fall back
-    to the XLA chain at trace time. ``True`` forces it (raises if
+    kernel PRNG) on the TPU backend for systematic int8 N ≤ 4096;
+    batches that aren't a ``fused_frame_tile`` multiple fall back to the
+    XLA chain at trace time (the default tile is the measured per-N
+    champion: 128 at N=4096, else 256). ``True`` forces it (raises if
     unsupported), ``False`` disables. The fused step draws its own PRNG
     streams (per key + tile), so its waterfall is statistically — not
     bitwise — identical to the XLA chain's (both are Monte-Carlo over
@@ -155,13 +156,29 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     return jax.jit(body, static_argnums=(2,))
 
 
+_FUSED_MAX_LEVEL = 12   # m13 t128 runs out of VMEM (probe receipt r2)
+_FUSED_TILE_BY_LEVEL = {11: 256, 12: 128}  # else 256; m10: t256 > t512
+
+
+def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
+    """Whether the fused Pallas step kernel covers this configuration
+    (systematic int8, N ≤ 4096 — the step's VMEM live set is ~2.5× the
+    decode-only kernel's, so its ceiling sits one level below the
+    whole-code decoder's); the TPU-backend check is separate because
+    eligibility is also consulted by run_campaign."""
+    return (systematic and compute is None
+            and jnp.dtype(dtype) == jnp.int8
+            and 2 <= code.level <= _FUSED_MAX_LEVEL)
+
+
 def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
                         fused_frame_tile):
+    if fused_frame_tile is None:
+        fused_frame_tile = _FUSED_TILE_BY_LEVEL.get(code.level, 256)
     use_fused = False
     if fused == "auto":
-        use_fused = (systematic and decoder is None and compute is None
-                     and jnp.dtype(dtype) == jnp.int8
-                     and 2 <= code.level <= 13
+        use_fused = (decoder is None
+                     and _fused_step_eligible(code, systematic, dtype, compute)
                      and jax.default_backend() == "tpu")
     elif fused:
         if not systematic or compute is not None:
@@ -186,7 +203,8 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
 
 def make_multi_step(code: PolarCode, *, systematic: bool = True,
                     dtype=jnp.int8, decoder=None, compute=None,
-                    fused: str | bool = "auto", fused_frame_tile: int = 256):
+                    fused: str | bool = "auto",
+                    fused_frame_tile: int | None = None):
     """Build ``multi(key, snr_db, batch, steps)`` — ``steps`` Monte-Carlo
     steps chained on device (keys split inside a ``fori_loop``), counters
     accumulated and pulled ONCE. Amortizes the per-call dispatch +
@@ -328,11 +346,22 @@ def run_campaign(
     point and previously-completed points are reloaded on restart — each
     point is a pure function of its PRNG key, so a resumed campaign is
     identical to an uninterrupted one (SURVEY.md §5 checkpoint/resume).
+
+    On TPU, systematic int8 campaigns at N ≤ 4096 run their Monte-Carlo
+    steps through the fused Pallas step kernel (see :func:`make_step`);
+    pass ``decoder=`` explicitly to pin the XLA chain instead.
     """
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
-    if decoder is None:
+    # when the fused Pallas step covers this config on TPU, the step is
+    # built WITHOUT a decoder so make_step's auto dispatch can pick the
+    # megakernel (a passed-in decoder pins the XLA chain); the standalone
+    # decoder below then only serves the decode-only Mb/s gauge
+    fused_step = (decoder is None
+                  and _fused_step_eligible(code, systematic, dtype, compute)
+                  and jax.default_backend() == "tpu")
+    if decoder is None and (measure_throughput or not fused_step):
         # build the decoder ONCE and share it between the Monte-Carlo step
         # and the throughput measurement (one trace/compile per campaign —
         # remote compiles are minutes, so the duplicate build was real time)
@@ -348,12 +377,13 @@ def run_campaign(
                 code, output="systematic" if systematic else "u",
                 compute=compute, output_dtype=dtype,
             )
+    step_decoder = None if fused_step else decoder
     if steps_per_call > 1:
         step = make_multi_step(code, systematic=systematic, dtype=dtype,
-                               compute=compute, decoder=decoder)
+                               compute=compute, decoder=step_decoder)
     else:
         step = make_step(code, systematic=systematic, dtype=dtype,
-                         compute=compute, decoder=decoder)
+                         compute=compute, decoder=step_decoder)
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K,
                             systematic=systematic, seed=seed)

@@ -63,9 +63,12 @@ def _bits_to_unit(b):
     """u32 bits → uniform f32 in (0, 1), both ends excluded.
 
     Top 24 bits (exactly representable in f32) + half-ulp offset — never
-    0, so ``log(u)`` below is always finite.
+    0, so ``log(u)`` below is always finite. The shifted value fits in
+    int32, so the uint32→f32 cast (unsupported by Mosaic) is routed
+    through a bitcast to int32.
     """
-    x = (b >> jnp.uint32(8)).astype(jnp.float32)
+    x = jax.lax.bitcast_convert_type(
+        b >> jnp.uint32(8), jnp.int32).astype(jnp.float32)
     return (x + 0.5) * jnp.float32(1.0 / (1 << 24))
 
 
@@ -85,8 +88,9 @@ def _bits_to_normals(b):
 
 
 def _bits_to_sym(b):
-    """u32 bits → ±1 f32 symbols (lowest bit)."""
-    bit = (b & jnp.uint32(1)).astype(jnp.float32)
+    """u32 bits → ±1 f32 symbols (lowest bit; int32 hop for Mosaic)."""
+    bit = jax.lax.bitcast_convert_type(
+        b & jnp.uint32(1), jnp.int32).astype(jnp.float32)
     return jnp.float32(1.0) - jnp.float32(2.0) * bit
 
 
@@ -121,6 +125,9 @@ def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
     In systematic mode the message IS the codeword at info rows, so the
     decoded-vs-message comparison is cw_hat-vs-cw under the info mask.
     f32 sums are exact for counts ≤ 2^24 (tile max N·BT < 2^21).
+
+    ``out_ref`` is the WHOLE (grid, 5) SMEM array (TPU lowering rejects
+    sub-(8,128) output blocks); each grid step writes its own row.
     """
     one = jnp.float32(1.0)
     zero_d = (cw_hat == 0).astype(jnp.float32)
@@ -129,11 +136,12 @@ def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
     llr_z = (llr == 0).astype(jnp.float32)
     awgn = ((llr < 0) != (cw < 0)).astype(jnp.float32) * (one - llr_z)
     frame_err = jnp.max(err, axis=0, keepdims=True)
-    out_ref[0, 0] = jnp.sum(err).astype(jnp.int32)
-    out_ref[0, 1] = jnp.sum(frame_err).astype(jnp.int32)
-    out_ref[0, 2] = jnp.sum(zero_d * info_col).astype(jnp.int32)
-    out_ref[0, 3] = jnp.sum(awgn).astype(jnp.int32)
-    out_ref[0, 4] = jnp.sum(llr_z).astype(jnp.int32)
+    row = pl.program_id(0)
+    out_ref[row, 0] = jnp.sum(err).astype(jnp.int32)
+    out_ref[row, 1] = jnp.sum(frame_err).astype(jnp.int32)
+    out_ref[row, 2] = jnp.sum(zero_d * info_col).astype(jnp.int32)
+    out_ref[row, 3] = jnp.sum(awgn).astype(jnp.int32)
+    out_ref[row, 4] = jnp.sum(llr_z).astype(jnp.int32)
 
 
 def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
@@ -167,7 +175,11 @@ def _step_kernel_bits(tree, n, frozen_col, cdtype, params_ref, bits_ref,
 
 def _step_kernel_native(tree, n, frozen_col, cdtype, frame_tile, params_ref,
                         seed_ref, out_ref):
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # 2-operand seed only: this Mosaic rejects a 3rd prng_set_seed_32
+    # operand, so the grid index is mixed into the second word (golden-
+    # ratio odd multiplier — distinct, well-spread stream per tile)
+    pid_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
     noise_bits = _random_u32((n, frame_tile))
     msg_bits = _random_u32((n, frame_tile))
     _chain(tree, frozen_col, cdtype, params_ref, out_ref,
@@ -220,12 +232,13 @@ def make_pallas_step(
             kernel,
             grid=(grid,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, _N_COUNTERS), lambda i: (i, 0),
-                                   memory_space=pltpu.SMEM),
+            # whole-array SMEM output: per-step rows via program_id (TPU
+            # lowering rejects sub-(8,128) output blocks, and grid steps
+            # run serially on one core, so the shared block is safe)
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)
-                if interpret else ("parallel",),
+                dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(*ins)

@@ -252,11 +252,49 @@ def stage_stepkernel():
                      "ts": time.time()})
 
 
+def stage_stepkernel2():
+    """Fused step at the m11/m12 frontier (m13 t128 OOMs VMEM — probe
+    receipt) + the make_step auto dispatch end-to-end: the campaign path
+    must actually hit the kernel and match its direct rate."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    for m, batch, tile in ((11, 16384, 256), (12, 8192, 128)):
+        code = pt.make_code(m, rate=0.5)
+        t0 = time.perf_counter()
+        try:
+            body = make_pallas_step(code, frame_tile=tile, prng="native")
+            rate = measure_step_rate(body, jax.random.PRNGKey(5), 0.0,
+                                     batch, iters=32)
+            log({"cfg": f"m{m}-stepkernel-native-t{tile}", "batch": batch,
+                 "fps": round(rate, 1),
+                 "measure_s": round(time.perf_counter() - t0, 1),
+                 "ts": time.time()})
+        except Exception as e:  # noqa: BLE001
+            log({"cfg": f"m{m}-stepkernel-native-t{tile}",
+                 "error": f"{type(e).__name__}: {e}"[:300],
+                 "ts": time.time()})
+    # the auto dispatch (campaign path): same kernel, same rate expected
+    code = pt.make_code(10, rate=0.5)
+    step = make_step(code, systematic=True)
+    t0 = time.perf_counter()
+    rate = measure_step_rate(step, jax.random.PRNGKey(6), 0.0, 32768,
+                             iters=32)
+    log({"cfg": "m10-makestep-auto-fused", "batch": 32768,
+         "fps": round(rate, 1),
+         "measure_s": round(time.perf_counter() - t0, 1), "ts": time.time()})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
                     choices=["gauge", "ladder", "ladder2", "steprate",
-                             "m20probe", "stepopt", "stepkernel"])
+                             "m20probe", "stepopt", "stepkernel",
+                             "stepkernel2"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
@@ -264,7 +302,8 @@ def main():
     {"gauge": stage_gauge, "ladder": stage_ladder,
      "ladder2": stage_ladder2, "steprate": stage_steprate,
      "m20probe": stage_m20_probe, "stepopt": stage_stepopt,
-     "stepkernel": stage_stepkernel}[args.stage]()
+     "stepkernel": stage_stepkernel,
+     "stepkernel2": stage_stepkernel2}[args.stage]()
 
 
 if __name__ == "__main__":

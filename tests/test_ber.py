@@ -92,3 +92,31 @@ def test_campaign_steps_per_call():
     )
     assert res.points and res.points[-1].bit_errors == 0
     assert all(p.frames % 256 == 0 for p in res.points)
+
+
+def test_fused_step_eligibility_table():
+    """run_campaign consults the same predicate make_step's auto dispatch
+    uses — systematic int8, no compute override, whole-code-kernel N."""
+    from polar_tpu.ber import _fused_step_eligible
+    import jax.numpy as jnp
+
+    big = pt.make_code(13, rate=0.5)  # step VMEM ceiling is level 12
+    assert _fused_step_eligible(CODE, True, jnp.int8, None)
+    assert _fused_step_eligible(pt.make_code(12, rate=0.5), True,
+                                jnp.int8, None)
+    assert not _fused_step_eligible(CODE, False, jnp.int8, None)
+    assert not _fused_step_eligible(CODE, True, jnp.float32, None)
+    assert not _fused_step_eligible(CODE, True, jnp.int8, "qfloat")
+    assert not _fused_step_eligible(big, True, jnp.int8, None)
+
+
+def test_campaign_without_throughput_gauge_cpu():
+    """The fused-step campaign wiring must leave the CPU path intact even
+    when no decode-only gauge decoder is requested."""
+    res = pt.run_campaign(
+        CODE, batch=128, max_frames_per_point=256, target_bit_errors=50,
+        snr_range=(6.0, 12.0), snr_step=3.0, stop_after_clean=2,
+        measure_throughput=False,
+    )
+    assert res.points and res.points[-1].bit_errors == 0
+    assert all(p.info_bits_per_sec == 0.0 for p in res.points)
