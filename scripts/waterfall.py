@@ -42,6 +42,10 @@ def main() -> int:
                     help="JSON checkpoint/result path (resumable)")
     ap.add_argument("--plot", type=str, default=None, help="PNG output path")
     ap.add_argument("--no-throughput", action="store_true")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="chain this many Monte-Carlo steps on device per "
+                         "host round trip (amortizes dispatch at fused-"
+                         "kernel step rates)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -84,6 +88,7 @@ def main() -> int:
         measure_throughput=not args.no_throughput,
         verbose=True,
         checkpoint_path=args.out,
+        steps_per_call=args.steps_per_call,
     )
     qef = result.qef_snr_db
     print(f"QEF at: {qef if math.isfinite(qef) else 'n/a'} SNR, "
