@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ber import make_step_body
+from ..ber import _make_dispatch_body
 from ..code.construction import PolarCode
 from .mesh import BATCH_AXIS, frame_mesh
 
@@ -29,6 +29,8 @@ def make_sharded_step(
     systematic: bool = True,
     dtype=jnp.int8,
     decoder=None,
+    fused: str | bool = "auto",
+    fused_frame_tile: int | None = None,
 ):
     """Build the multi-chip Monte-Carlo step.
 
@@ -37,11 +39,16 @@ def make_sharded_step(
     sharded over ``axis``) and returns globally-psum-reduced counters
     (replicated scalars). ``per_device_batch`` frames are processed on
     every device, so the global batch is ``n_devices * per_device_batch``.
+
+    ``fused``/``fused_frame_tile`` as in :func:`polar_tpu.ber.make_step`:
+    on TPU meshes each shard's step runs as the fused Pallas kernel for
+    systematic int8 N ≤ 4096 (per-shard kernel launch, psum unchanged).
     """
     if mesh is None:
         mesh = frame_mesh(axis=axis)
-    body = make_step_body(code, systematic=systematic, dtype=dtype,
-                          decoder=decoder)
+    body = _make_dispatch_body(code, systematic=systematic, dtype=dtype,
+                               decoder=decoder, compute=None, fused=fused,
+                               fused_frame_tile=fused_frame_tile)
 
     def shard_fn(keys, snr_db, per_device_batch: int):
         out = body(keys[0], snr_db, per_device_batch)
