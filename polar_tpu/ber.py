@@ -65,7 +65,8 @@ class CampaignResult:
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
-                   decoder=None, compute=None):
+                   decoder=None, compute=None, rng: str = "threefry",
+                   rng_interpret: bool = False):
     """The unjitted Monte-Carlo step body: (key, snr_db, batch) → counters.
 
     Exposed separately so the sharded campaign can wrap it in ``shard_map``
@@ -75,6 +76,15 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     In systematic mode the decoder emits the systematic message directly
     (re-encode + info gather fused into the decode program) — bit-exact
     with the reference's extraction (``testbench.cc:177-183``).
+
+    ``rng``: ``"threefry"`` (default) draws message bits and noise with
+    JAX's counter-based PRNG; ``"pallas"`` (TPU, int8 only) replaces both
+    draws with the elementwise hardware-PRNG kernels
+    (:mod:`polar_tpu.ops.pallas.channel_kernel`) — same channel law,
+    different (still per-key reproducible) random stream; shapes that
+    can't tile (or int8-incompatible dtypes) fall back to threefry at
+    trace time. ``"pallas-bits"`` is the CPU/interpret-testable variant
+    (threefry-drawn bits through the identical in-kernel math).
     """
     if decoder is None:
         if compute is None and jnp.dtype(dtype) == jnp.int8:
@@ -97,12 +107,47 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
             )
     enc = encode_systematic if systematic else encode
 
+    if rng not in ("threefry", "pallas", "pallas-bits"):
+        raise ValueError(f"unknown rng mode {rng!r}")
+    use_kernel_rng = rng != "threefry" and jnp.dtype(dtype) == jnp.int8
+    if rng == "pallas" and jax.default_backend() != "tpu":
+        use_kernel_rng = False  # in-kernel PRNG has no CPU lowering
+    if use_kernel_rng:
+        from .ops.pallas.channel_kernel import (make_pallas_awgn,
+                                                make_pallas_symbols,
+                                                pick_blocks)
+        kmode = "bits" if rng == "pallas-bits" else "native"
+        sym = make_pallas_symbols(interpret=rng_interpret, prng=kmode)
+        chan = make_pallas_awgn(interpret=rng_interpret, prng=kmode)
+
+    def draw_threefry(kmsg, knoise, snr_db, batch):
+        bits = jax.random.bernoulli(kmsg, 0.5, (batch, code.K))
+        message = jnp.where(bits, jnp.asarray(-1, dtype),
+                            jnp.asarray(1, dtype))
+        codeword = enc(code, message)
+        return message, codeword, awgn_llrs(knoise, codeword, snr_db, dtype)
+
+    def draw_kernels(kmsg, knoise, snr_db, batch):
+        if rng == "pallas-bits":
+            message = sym(jax.random.bits(kmsg, (batch, code.K), jnp.uint32))
+            codeword = enc(code, message)
+            k1, k2 = jax.random.split(knoise)
+            llrs = chan(jax.random.bits(k1, (batch, code.N), jnp.uint32),
+                        jax.random.bits(k2, (batch, code.N), jnp.uint32),
+                        codeword, snr_db)
+        else:
+            message = sym(kmsg, (batch, code.K))
+            codeword = enc(code, message)
+            llrs = chan(knoise, codeword, snr_db)
+        return message, codeword, llrs
+
     def step(key, snr_db, batch: int):
         kmsg, knoise = jax.random.split(key)
-        bits = jax.random.bernoulli(kmsg, 0.5, (batch, code.K))
-        message = jnp.where(bits, jnp.asarray(-1, dtype), jnp.asarray(1, dtype))
-        codeword = enc(code, message)
-        llrs = awgn_llrs(knoise, codeword, snr_db, dtype)
+        draw = draw_threefry
+        if use_kernel_rng and pick_blocks(batch, code.K) is not None \
+                and pick_blocks(batch, code.N) is not None:
+            draw = draw_kernels
+        message, codeword, llrs = draw(kmsg, knoise, snr_db, batch)
         decoded = decoder(llrs)
         # counters in the bool domain — no (B, N)/(B, K) int32
         # intermediates. Exact equivalences for message/codeword in
@@ -184,8 +229,17 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
         if not systematic or compute is not None:
             raise ValueError("fused step supports systematic int8 mode only")
         use_fused = True
+    # second rung of the ladder: when the whole-step kernel doesn't apply
+    # (large N, or a caller-pinned decoder), still replace the threefry
+    # message/noise draws with the elementwise hardware-PRNG kernels —
+    # they tile at any N and compose with any int8 decoder.
+    rng = ("pallas" if (fused == "auto" and not use_fused
+                        and compute is None
+                        and jnp.dtype(dtype) == jnp.int8
+                        and jax.default_backend() == "tpu")
+           else "threefry")
     body = make_step_body(code, systematic=systematic, dtype=dtype,
-                          decoder=decoder, compute=compute)
+                          decoder=decoder, compute=compute, rng=rng)
     if not use_fused:
         return body
     from .ops.pallas.step_kernel import make_pallas_step

@@ -289,12 +289,51 @@ def stage_stepkernel2():
          "measure_s": round(time.perf_counter() - t0, 1), "ts": time.time()})
 
 
+def stage_chanrng():
+    """Kernel-RNG step rates at large N (the threefry wall: XLA chain at
+    m13 ran at 11% of decode-only). make_step auto now draws message
+    symbols and AWGN LLRs with the elementwise hardware-PRNG kernels and
+    keeps the hybrid decoder — measure the recovered fraction."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step, make_step_body
+    from polar_tpu.utils.benchmark import measure_step_rate
+
+    for m, batch in ((13, 4096), (14, 2048)):
+        code = pt.make_code(m, rate=0.5)
+        for name, body in (
+            ("chanrng", make_step_body(code, rng="pallas")),
+            ("threefry", make_step_body(code, rng="threefry")),
+        ):
+            t0 = time.perf_counter()
+            try:
+                rate = measure_step_rate(body, jax.random.PRNGKey(5), 0.0,
+                                         batch, iters=32)
+                log({"cfg": f"m{m}-steprate-{name}", "batch": batch,
+                     "fps": round(rate, 1),
+                     "measure_s": round(time.perf_counter() - t0, 1),
+                     "ts": time.time()})
+            except Exception as e:  # noqa: BLE001
+                log({"cfg": f"m{m}-steprate-{name}",
+                     "error": f"{type(e).__name__}: {e}"[:400],
+                     "ts": time.time()})
+    # auto dispatch at m13 must pick the kernel-RNG body
+    code = pt.make_code(13, rate=0.5)
+    step = make_step(code, systematic=True)
+    t0 = time.perf_counter()
+    rate = measure_step_rate(step, jax.random.PRNGKey(6), 0.0, 4096,
+                             iters=32)
+    log({"cfg": "m13-makestep-auto", "batch": 4096, "fps": round(rate, 1),
+         "measure_s": round(time.perf_counter() - t0, 1), "ts": time.time()})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
                     choices=["gauge", "ladder", "ladder2", "steprate",
                              "m20probe", "stepopt", "stepkernel",
-                             "stepkernel2"])
+                             "stepkernel2", "chanrng"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
@@ -303,7 +342,7 @@ def main():
      "ladder2": stage_ladder2, "steprate": stage_steprate,
      "m20probe": stage_m20_probe, "stepopt": stage_stepopt,
      "stepkernel": stage_stepkernel,
-     "stepkernel2": stage_stepkernel2}[args.stage]()
+     "stepkernel2": stage_stepkernel2, "chanrng": stage_chanrng}[args.stage]()
 
 
 if __name__ == "__main__":
