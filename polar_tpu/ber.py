@@ -226,31 +226,43 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
                      and _fused_step_eligible(code, systematic, dtype, compute)
                      and jax.default_backend() == "tpu")
     elif fused:
-        if not systematic or compute is not None:
-            raise ValueError("fused step supports systematic int8 mode only")
+        if not _fused_step_eligible(code, systematic, dtype, compute):
+            raise ValueError(
+                "fused step supports systematic int8 mode at N <= "
+                f"{1 << _FUSED_MAX_LEVEL} only (got N={code.N}, "
+                f"systematic={systematic}, dtype={jnp.dtype(dtype)}, "
+                f"compute={compute!r})")
         use_fused = True
     # second rung of the ladder: when the whole-step kernel doesn't apply
     # (large N, or a caller-pinned decoder), still replace the threefry
     # message/noise draws with the elementwise hardware-PRNG kernels —
     # they tile at any N and compose with any int8 decoder.
-    rng = ("pallas" if (fused == "auto" and not use_fused
-                        and compute is None
+    rng = ("pallas" if (fused == "auto" and compute is None
                         and jnp.dtype(dtype) == jnp.int8
                         and jax.default_backend() == "tpu")
            else "threefry")
-    body = make_step_body(code, systematic=systematic, dtype=dtype,
-                          decoder=decoder, compute=compute, rng=rng)
+
+    def make_body():
+        return make_step_body(code, systematic=systematic, dtype=dtype,
+                              decoder=decoder, compute=compute, rng=rng)
+
     if not use_fused:
-        return body
+        return make_body()
     from .ops.pallas.step_kernel import make_pallas_step
 
     fused_body = make_pallas_step(code, frame_tile=fused_frame_tile,
                                   prng="native")
+    # the XLA fallback (non-tile-multiple batches) builds its decoder
+    # lazily: most fused campaigns never trace it, and the champion
+    # decoder build is real work (kernel program construction)
+    fallback = []
 
     def dispatch(key, snr_db, batch: int):
         if batch % fused_frame_tile == 0:
             return fused_body(key, snr_db, batch)
-        return body(key, snr_db, batch)
+        if not fallback:
+            fallback.append(make_body())
+        return fallback[0](key, snr_db, batch)
 
     return dispatch
 
@@ -265,14 +277,16 @@ def make_multi_step(code: PolarCode, *, systematic: bool = True,
     host-transfer latency, which at fused-step rates is a real fraction
     of each step (the campaign's analog of the benchmark's chained
     runner). Counter totals stay in int32: keep
-    ``steps * batch * K < 2^31`` (asserted).
+    ``steps * batch * N < 2^31`` (asserted — the awgn/quantization
+    diagnostics count over all N channel bits per frame, not just the K
+    info bits, so N is the binding domain).
     """
     body = _make_dispatch_body(code, systematic=systematic, dtype=dtype,
                                decoder=decoder, compute=compute, fused=fused,
                                fused_frame_tile=fused_frame_tile)
 
     def multi(key, snr_db, batch: int, steps: int):
-        assert steps * batch * code.K < (1 << 31), \
+        assert steps * batch * code.N < (1 << 31), \
             "int32 counter overflow risk: lower steps_per_call"
 
         def loop_body(_, carry):
@@ -391,6 +405,7 @@ def run_campaign(
     checkpoint_path=None,
     decoder=None,
     steps_per_call: int = 1,
+    fused: str | bool = "auto",
 ) -> CampaignResult:
     """Full waterfall sweep with the reference's early-stop rule: finish
     after ``stop_after_clean`` consecutive error-free points
@@ -401,9 +416,13 @@ def run_campaign(
     point is a pure function of its PRNG key, so a resumed campaign is
     identical to an uninterrupted one (SURVEY.md §5 checkpoint/resume).
 
-    On TPU, systematic int8 campaigns at N ≤ 4096 run their Monte-Carlo
-    steps through the fused Pallas step kernel (see :func:`make_step`);
-    pass ``decoder=`` explicitly to pin the XLA chain instead.
+    On TPU, int8 campaigns draw from the hardware-PRNG Pallas kernels:
+    the whole step runs as the fused megakernel for systematic N ≤ 4096
+    (unless ``decoder=`` pins a specific decode path), and larger codes
+    keep their decoder but use the elementwise message/AWGN kernels (see
+    :func:`make_step`). Pass ``fused=False`` to pin the pre-kernel
+    threefry XLA chain — e.g. to extend a checkpoint recorded with it
+    using the identical per-key random stream.
     """
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
@@ -412,7 +431,7 @@ def run_campaign(
     # built WITHOUT a decoder so make_step's auto dispatch can pick the
     # megakernel (a passed-in decoder pins the XLA chain); the standalone
     # decoder below then only serves the decode-only Mb/s gauge
-    fused_step = (decoder is None
+    fused_step = (fused == "auto" and decoder is None
                   and _fused_step_eligible(code, systematic, dtype, compute)
                   and jax.default_backend() == "tpu")
     if decoder is None and (measure_throughput or not fused_step):
@@ -434,10 +453,11 @@ def run_campaign(
     step_decoder = None if fused_step else decoder
     if steps_per_call > 1:
         step = make_multi_step(code, systematic=systematic, dtype=dtype,
-                               compute=compute, decoder=step_decoder)
+                               compute=compute, decoder=step_decoder,
+                               fused=fused)
     else:
         step = make_step(code, systematic=systematic, dtype=dtype,
-                         compute=compute, decoder=step_decoder)
+                         compute=compute, decoder=step_decoder, fused=fused)
     key = jax.random.PRNGKey(seed)
     result = CampaignResult(code_n=code.N, code_k=code.K,
                             systematic=systematic, seed=seed)

@@ -35,17 +35,13 @@ where the bits come from.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .step_kernel import _bits_to_unit, _random_u32
-
-_GOLDEN = -1640531527  # 0x9E3779B9 as int32: odd, well-spread multiplier
+from .step_kernel import _GOLDEN, _bits_to_unit, _key_seeds, _random_u32
 
 
 def _seed_grid_stream(seed_ref):
@@ -97,12 +93,6 @@ def _sym_kernel_bits(b_ref, out_ref):
     out_ref[...] = (jnp.int32(1) - jnp.int32(2) * bit).astype(jnp.int8)
 
 
-def _key_seeds(key):
-    kd = key if (isinstance(key, jax.Array) and key.dtype == jnp.uint32) \
-        else jax.random.key_data(key)
-    return jax.lax.bitcast_convert_type(kd.reshape(-1)[:2], jnp.int32)
-
-
 def pick_blocks(rows: int, cols: int):
     """(row-block, col-block) for an elementwise int8/f32 grid, or None
     if the shape can't tile cleanly (callers fall back to the XLA path).
@@ -123,8 +113,12 @@ def _grid_call(kernel, ins, in_specs, rows, cols, rb, cb, interpret):
         out_specs=pl.BlockSpec((rb, cb), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.int8),
+        # unlike the step kernel (whole-array shared SMEM output), these
+        # output blocks are disjoint per grid step and each step seeds an
+        # independent PRNG stream — safe to let Mosaic parallelize
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary")
+            if interpret else ("parallel", "parallel"),
         ),
         interpret=interpret,
     )(*ins)
@@ -149,7 +143,7 @@ def make_pallas_symbols(*, interpret: bool = False, prng: str = "native"):
         rows, cols = shape
         rb, cb = pick_blocks(rows, cols)
         return _grid_call(
-            functools.partial(_sym_kernel_native), [_key_seeds(key)],
+            _sym_kernel_native, [_key_seeds(key)],
             [pl.BlockSpec(memory_space=pltpu.SMEM)],
             rows, cols, rb, cb, interpret)
 

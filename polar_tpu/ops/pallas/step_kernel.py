@@ -57,6 +57,16 @@ from ...code.construction import PolarCode
 from .decoder_kernel import _SsaBuilder, _transform_value
 
 _N_COUNTERS = 5  # uncorrected, frame, ambiguity, awgn, quant-zero
+_GOLDEN = -1640531527  # 0x9E3779B9 as int32: odd, well-spread multiplier
+
+
+def _key_seeds(key):
+    """JAX PRNG key (or raw (2,) uint32 key data) → two int32 seed words
+    for the in-kernel hardware PRNG. Shared by every PRNG kernel so the
+    key→stream mapping cannot silently diverge between them."""
+    kd = key if (isinstance(key, jax.Array) and key.dtype == jnp.uint32) \
+        else jax.random.key_data(key)
+    return jax.lax.bitcast_convert_type(kd.reshape(-1)[:2], jnp.int32)
 
 
 def _bits_to_unit(b):
@@ -178,7 +188,7 @@ def _step_kernel_native(tree, n, frozen_col, cdtype, frame_tile, params_ref,
     # 2-operand seed only: this Mosaic rejects a 3rd prng_set_seed_32
     # operand, so the grid index is mixed into the second word (golden-
     # ratio odd multiplier — distinct, well-spread stream per tile)
-    pid_mix = pl.program_id(0) * jnp.int32(-1640531527)  # 0x9E3779B9
+    pid_mix = pl.program_id(0) * jnp.int32(_GOLDEN)
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
     noise_bits = _random_u32((n, frame_tile))
     msg_bits = _random_u32((n, frame_tile))
@@ -305,10 +315,7 @@ def make_pallas_step(
         if batch % frame_tile:
             raise ValueError(f"batch {batch} not a multiple of "
                              f"frame_tile {frame_tile}")
-        kd = key if (isinstance(key, jax.Array)
-                     and key.dtype == jnp.uint32) else jax.random.key_data(key)
-        seeds = jax.lax.bitcast_convert_type(
-            kd.reshape(-1)[:2], jnp.int32)
+        seeds = _key_seeds(key)
         out = call(
             [_snr_params(snr_db), seeds],
             [params_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],

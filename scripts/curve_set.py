@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--snr-step", type=float, default=0.2)
     ap.add_argument("--outdir", type=str, default="results")
     ap.add_argument("--plot", type=str, default="results/ber_log_tpu.png")
+    ap.add_argument("--steps-per-call", type=int, default=1)
+    ap.add_argument("--tag-suffix", type=str, default="",
+                    help="append to checkpoint names (fresh files for a "
+                         "deeper re-run without clobbering published ones)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -48,7 +52,8 @@ def main() -> int:
     results = []
     for m in args.ms:
         for systematic in (True, False):
-            tag = f"n{1 << m}_{'sys' if systematic else 'nonsys'}_int8"
+            tag = (f"n{1 << m}_{'sys' if systematic else 'nonsys'}_int8"
+                   f"{args.tag_suffix}")
             ckpt = outdir / f"{tag}.json"
             print(f"=== {tag} ===", file=sys.stderr, flush=True)
             code = pt.make_code(m, rate=args.rate)
@@ -63,6 +68,7 @@ def main() -> int:
                 measure_throughput=False,
                 verbose=True,
                 checkpoint_path=ckpt,
+                steps_per_call=args.steps_per_call,
             )
             results.append(res)
             plot_waterfall(

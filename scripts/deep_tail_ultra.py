@@ -26,7 +26,9 @@ RECEIPTS = REPO / "results" / "throughput_receipts_r2.txt"
 
 SNRS = [1.6, 1.8, 2.0, 2.2, 2.4, 2.6]
 BATCH = 32768
-STEPS_PER_CALL = 64          # 64*32768*512 = 2^30 info bits/call < int32
+STEPS_PER_CALL = 32          # 32*32768*N(1024) = 2^30 channel bits/call
+                             # < int32 (the awgn/quant diagnostics count
+                             # over N, not K — the binding domain)
 MAX_FRAMES = 1 << 30         # ~1.07e9 frames/point
 TARGET_ERRS = 100
 

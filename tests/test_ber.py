@@ -120,3 +120,34 @@ def test_campaign_without_throughput_gauge_cpu():
     )
     assert res.points and res.points[-1].bit_errors == 0
     assert all(p.info_bits_per_sec == 0.0 for p in res.points)
+
+
+def test_make_step_fused_true_validates_dtype_and_level():
+    """fused=True must raise for any config the kernel can't cover —
+    dtype and the N<=4096 VMEM ceiling included, not just mode flags."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        pt.make_step(CODE, systematic=True, dtype=jnp.float32, fused=True)
+    with pytest.raises(ValueError):
+        pt.make_step(pt.make_code(13, rate=0.5), systematic=True, fused=True)
+
+
+def test_campaign_fused_false_pins_threefry_chain():
+    res = pt.run_campaign(
+        CODE, batch=128, max_frames_per_point=256, target_bit_errors=50,
+        snr_range=(6.0, 12.0), snr_step=3.0, stop_after_clean=2,
+        measure_throughput=False, fused=False,
+    )
+    assert res.points and res.points[-1].bit_errors == 0
+
+
+def test_multi_step_overflow_guard_uses_channel_bit_domain():
+    """The int32 guard must bound the N-domain diagnostics (awgn/quant
+    count all channel bits), not just the K info bits."""
+    import pytest
+
+    multi = pt.ber.make_multi_step(CODE, systematic=True)
+    steps = (1 << 31) // (128 * CODE.N) + 1
+    with pytest.raises(AssertionError):
+        multi(jax.random.PRNGKey(0), 1.0, 128, steps)
