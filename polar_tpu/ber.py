@@ -116,9 +116,14 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         from .ops.pallas.channel_kernel import (make_pallas_awgn,
                                                 make_pallas_symbols,
                                                 pick_blocks)
+        from .ops.pallas.encode_kernel import make_pallas_encoder
         kmode = "bits" if rng == "pallas-bits" else "native"
         sym = make_pallas_symbols(interpret=rng_interpret, prng=kmode)
         chan = make_pallas_awgn(interpret=rng_interpret, prng=kmode)
+        # the VMEM-block butterfly: the XLA encode was 70% of the large-N
+        # step (chain-profile receipts)
+        penc = make_pallas_encoder(code, systematic=systematic,
+                                   frame_tile=128, interpret=rng_interpret)
 
     def draw_threefry(kmsg, knoise, snr_db, batch):
         bits = jax.random.bernoulli(kmsg, 0.5, (batch, code.K))
@@ -128,16 +133,17 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         return message, codeword, awgn_llrs(knoise, codeword, snr_db, dtype)
 
     def draw_kernels(kmsg, knoise, snr_db, batch):
+        kenc = penc if batch % 128 == 0 else (lambda m: enc(code, m))
         if rng == "pallas-bits":
             message = sym(jax.random.bits(kmsg, (batch, code.K), jnp.uint32))
-            codeword = enc(code, message)
+            codeword = kenc(message)
             k1, k2 = jax.random.split(knoise)
             llrs = chan(jax.random.bits(k1, (batch, code.N), jnp.uint32),
                         jax.random.bits(k2, (batch, code.N), jnp.uint32),
                         codeword, snr_db)
         else:
             message = sym(kmsg, (batch, code.K))
-            codeword = enc(code, message)
+            codeword = kenc(message)
             llrs = chan(knoise, codeword, snr_db)
         return message, codeword, llrs
 

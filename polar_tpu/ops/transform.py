@@ -28,9 +28,25 @@ def polar_transform(x):
     n = x.shape[-1]
     if n & (n - 1):
         raise ValueError(f"N must be a power of two, got {n}")
+    return polar_transform_stages(x, 1, n)
+
+
+def polar_transform_stages(x, h_lo: int, h_hi: int):
+    """Apply only the butterfly stages with ``h_lo <= h < h_hi``.
+
+    The full transform is the composition of log2(N) stages, one per
+    index bit; stage h is the Kronecker factor acting on bit log2(h), so
+    **stages commute** — the transform splits as (top stages) ∘ (bottom
+    stages) in either order. This is what lets a hybrid encoder run the
+    bottom stages block-locally in a Pallas kernel (stage h < B only
+    pairs elements inside the same B-aligned block) and the few top
+    stages as XLA elementwise ops (tested:
+    ``tests/test_encode.py::test_transform_stage_split_commutes``).
+    """
+    n = x.shape[-1]
     lead = x.shape[:-1]
-    h = 1
-    while h < n:
+    h = h_lo
+    while h < h_hi:
         v = x.reshape(*lead, n // (2 * h), 2, h)
         lo = v[..., 0, :] * v[..., 1, :]
         x = jnp.concatenate([lo[..., None, :], v[..., 1:2, :]], axis=-2)

@@ -96,3 +96,21 @@ def test_float_encode():
     cw = np.asarray(pt.encode_systematic(code, jnp.asarray(msg)))
     assert cw.dtype == np.float32
     np.testing.assert_array_equal(cw[:, code.info_indices], msg)
+
+
+def test_transform_stage_split_commutes():
+    """The butterfly stages are commuting Kronecker factors: top∘bottom
+    == bottom∘top == full, for any split point — the property the hybrid
+    Pallas encoder relies on (block-local bottom stages + XLA top)."""
+    from polar_tpu.ops.transform import polar_transform, polar_transform_stages
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((1 - 2 * rng.integers(0, 2, (5, 256))).astype(np.int8))
+    full = polar_transform(x)
+    for split in (2, 16, 64, 256):
+        bt = polar_transform_stages(
+            polar_transform_stages(x, 1, split), split, 256)
+        tb = polar_transform_stages(
+            polar_transform_stages(x, split, 256), 1, split)
+        assert np.array_equal(np.asarray(bt), np.asarray(full))
+        assert np.array_equal(np.asarray(tb), np.asarray(full))
