@@ -112,6 +112,26 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     use_kernel_rng = rng != "threefry" and jnp.dtype(dtype) == jnp.int8
     if rng == "pallas" and jax.default_backend() != "tpu":
         use_kernel_rng = False  # in-kernel PRNG has no CPU lowering
+    # zero-transpose front path: for whole-block codes (N ≤ 8192) the
+    # entire pre-decode chain runs as ONE element-major kernel
+    # (make_pallas_front) feeding the decoder's lane_major entry, with
+    # cw-domain counters — no scatter, no transposes, no per-stage HBM
+    # traffic. Only when the caller didn't pin a decoder.
+    use_front = (use_kernel_rng and systematic and decoder is None
+                 and compute is None and 2 <= code.level <= 13)
+    front = front_dec = None
+    if use_front:
+        from .ops.pallas.decoder_kernel import make_pallas_decoder
+        from .ops.pallas.step_kernel import (_bits_to_normals, _bits_to_sym,
+                                             make_pallas_front)
+        front = make_pallas_front(
+            code, frame_tile=128, interpret=rng_interpret,
+            prng="inject" if rng == "pallas-bits" else "native")
+        front_dec = make_pallas_decoder(
+            code, frame_tile=128, compute_dtype=jnp.float32,
+            output_dtype=jnp.int8, style="ssa", output="codeword",
+            interpret=rng_interpret)
+        info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
     if use_kernel_rng:
         from .ops.pallas.channel_kernel import (make_pallas_awgn,
                                                 make_pallas_symbols,
@@ -147,7 +167,33 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
             llrs = chan(knoise, codeword, snr_db)
         return message, codeword, llrs
 
+    def step_front(key, snr_db, batch):
+        """Element-major end-to-end: front kernel → lane_major decode →
+        cw-domain counters (the step-kernel counter math in XLA —
+        exactness pinned by test_step_kernel/test_channel_kernel)."""
+        kmsg, knoise = jax.random.split(key)
+        if rng == "pallas-bits":
+            nb = jax.random.bits(knoise, (code.N, batch), jnp.uint32)
+            mb = jax.random.bits(kmsg, (code.N, batch), jnp.uint32)
+            llr_t, cw_t = front(_bits_to_sym(mb), _bits_to_normals(nb),
+                                snr_db)
+        else:
+            llr_t, cw_t = front(key, snr_db, batch)
+        cw_hat_t = front_dec.lane_major(llr_t)[1]
+        zero_d = (cw_hat_t == 0) & info_rows
+        err = (cw_hat_t != cw_t) & info_rows
+        awgn = (llr_t != 0) & ((llr_t < 0) != (cw_t < 0))
+        return {
+            "uncorrected_errors": jnp.sum(err, dtype=jnp.int32),
+            "frame_errors": jnp.sum(jnp.any(err, axis=0), dtype=jnp.int32),
+            "ambiguity_erasures": jnp.sum(zero_d, dtype=jnp.int32),
+            "awgn_errors": jnp.sum(awgn, dtype=jnp.int32),
+            "quantization_erasures": jnp.sum(llr_t == 0, dtype=jnp.int32),
+        }
+
     def step(key, snr_db, batch: int):
+        if use_front and batch % 128 == 0:
+            return step_front(key, snr_db, batch)
         kmsg, knoise = jax.random.split(key)
         draw = draw_threefry
         if use_kernel_rng and pick_blocks(batch, code.K) is not None \

