@@ -60,9 +60,15 @@ class _TreeDecoder:
     drop into a Pallas VMEM kernel for composite subtrees at or below a
     chosen level (the hybrid decoder — XLA for the large upper levels,
     kernel-resident pyramids below).
+
+    ``axis``: the code-element axis — ``-1`` (frame-major ``(B, N)``,
+    the default) or ``0`` (element-major ``(N, B)``, the Pallas kernels'
+    native layout: subtree kernels run with NO transposes and the upper
+    XLA f/g become contiguous row-block ops).
     """
 
-    def __init__(self, ph, subtree_kernel_for=None, want_cw=False):
+    def __init__(self, ph, subtree_kernel_for=None, want_cw=False,
+                 axis: int = -1):
         self.ph = ph
         self.subtree_kernel_for = subtree_kernel_for
         self.mesg: list = []
@@ -72,30 +78,47 @@ class _TreeDecoder:
         # testbench.cc:177-183). Used by the hybrid decoder's fused
         # systematic/codeword output: subtree kernels emit their cw block
         # in VMEM and the few upper XLA levels combine them node-wise
-        # (cw = [cw_l * cw_r, cw_r]) instead of re-encoding the whole u.
+        # (cw = [cw_l * cw_r, cw_r]) instead of re-encoding the full u.
         self.want_cw = want_cw
+        if axis not in (0, -1):
+            raise ValueError("axis must be 0 or -1")
+        self.axis = axis
+
+    # -- layout helpers: slice/concat along the code-element axis -------
+    def _sl(self, x, a, b):
+        return x[a:b] if self.axis == 0 else x[..., a:b]
+
+    def _halves(self, x):
+        half = x.shape[self.axis] // 2
+        return self._sl(x, None, half), self._sl(x, half, None)
+
+    def _cat(self, parts):
+        return jnp.concatenate(parts, axis=self.axis)
+
+    def _transform(self, x):
+        return polar_transform(x, axis=self.axis)
 
     # -- f/g over the two halves of a node's soft input -----------------
     def _f(self, inp):
-        half = inp.shape[-1] // 2
-        return self.ph.prod(inp[..., :half], inp[..., half:])
+        lo, hi = self._halves(inp)
+        return self.ph.prod(lo, hi)
 
     def _g(self, hard_left, inp):
-        half = inp.shape[-1] // 2
-        return self.ph.madd(hard_left, inp[..., :half], inp[..., half:])
+        lo, hi = self._halves(inp)
+        return self.ph.madd(hard_left, lo, hi)
 
     def _g_rate0(self, inp):
         # g with an all-(+1) left half: plain saturating add without the
         # -127 clamp, mirroring rate0_right (polar_decoder.hh:44-51).
-        half = inp.shape[-1] // 2
-        return self.ph.qadd(inp[..., :half], inp[..., half:])
+        lo, hi = self._halves(inp)
+        return self.ph.qadd(lo, hi)
 
     # -- leaf nodes of the pruned tree ----------------------------------
     def _rep(self, soft):
         x = soft
-        while x.shape[-1] > 1:
-            half = x.shape[-1] // 2
-            x = self.ph.qadd(x[..., :half], x[..., half:])
+        while x.shape[self.axis] > 1:
+            lo, hi = self._halves(x)
+            x = self.ph.qadd(lo, hi)
         bit = self.ph.signum(x)
         self.mesg.append(bit)
         return jnp.broadcast_to(bit, soft.shape)
@@ -103,9 +126,10 @@ class _TreeDecoder:
     def _spc_hard(self, soft):
         ph = self.ph
         hard = ph.decide(soft)
-        parity = jnp.prod(hard, axis=-1, keepdims=True).astype(hard.dtype)
+        parity = jnp.prod(hard, axis=self.axis,
+                          keepdims=True).astype(hard.dtype)
         sabs = ph.qabs(soft)
-        weak = jnp.min(sabs, axis=-1, keepdims=True)
+        weak = jnp.min(sabs, axis=self.axis, keepdims=True)
         return ph.flip(hard, parity, weak, sabs)
 
     # -- the recursion ---------------------------------------------------
@@ -133,46 +157,43 @@ class _TreeDecoder:
             return ones, (ones if cw else None)
         if kind == "rate1":
             hard = ph.signum(soft)
-            t = polar_transform(hard)
+            t = self._transform(hard)
             self.mesg.append(t)
-            return hard, (polar_transform(t) if cw else None)
+            return hard, (self._transform(t) if cw else None)
         if kind == "rep":
             hard = self._rep(soft)
             # u_segment = [+1,...,+1,bit] → cw = broadcast(bit) = hard
             return hard, (hard if cw else None)
         if kind == "spc":
             hard = self._spc_hard(soft)
-            v = polar_transform(hard)
-            self.mesg.append(v[..., 1:])
+            v = self._transform(hard)
+            self.mesg.append(self._sl(v, 1, None))
             cw_v = None
             if cw:
                 # u_segment = [+1 (frozen), v_1..v_{L-1}]
-                cw_v = polar_transform(
-                    jnp.concatenate([jnp.ones_like(v[..., :1]), v[..., 1:]],
-                                    axis=-1))
+                cw_v = self._transform(
+                    self._cat([jnp.ones_like(self._sl(v, None, 1)),
+                               self._sl(v, 1, None)]))
             return hard, cw_v
         if kind == "rate0_right":
             hard_r, cw_r = self.decode(node.right, self._g_rate0(soft))
-            return (jnp.concatenate([hard_r, hard_r], axis=-1),
-                    jnp.concatenate([cw_r, cw_r], axis=-1) if cw else None)
+            return (self._cat([hard_r, hard_r]),
+                    self._cat([cw_r, cw_r]) if cw else None)
         if kind == "rate1_comb":
             hard_l, cw_l = self.decode(node.left, self._f(soft))
             hard_r = ph.signum(self._g(hard_l, soft))
-            t = polar_transform(hard_r)
+            t = self._transform(hard_r)
             self.mesg.append(t)
             cw_v = None
             if cw:
-                cw_r = polar_transform(t)
-                cw_v = jnp.concatenate([cw_l * cw_r, cw_r], axis=-1)
-            return (jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r],
-                                    axis=-1), cw_v)
+                cw_r = self._transform(t)
+                cw_v = self._cat([cw_l * cw_r, cw_r])
+            return (self._cat([ph.qmul(hard_l, hard_r), hard_r]), cw_v)
         if kind == "branch":
             hard_l, cw_l = self.decode(node.left, self._f(soft))
             hard_r, cw_r = self.decode(node.right, self._g(hard_l, soft))
-            return (jnp.concatenate([ph.qmul(hard_l, hard_r), hard_r],
-                                    axis=-1),
-                    jnp.concatenate([cw_l * cw_r, cw_r], axis=-1)
-                    if cw else None)
+            return (self._cat([ph.qmul(hard_l, hard_r), hard_r]),
+                    self._cat([cw_l * cw_r, cw_r]) if cw else None)
         raise AssertionError(kind)  # pragma: no cover
 
 
@@ -249,7 +270,7 @@ def make_fastssc_decoder(
         raise ValueError(f"unknown output mode {output!r}")
     info = code.info_indices
 
-    subtree_kernel_for = None
+    kernel_for = {"frame": None, "lane": None}
     # fused codeword track: with subtree kernels active (and the SSA body,
     # which supports the cw track), non-u outputs skip the whole-vector
     # XLA re-encode — each kernel emits its cw block in VMEM and the few
@@ -263,29 +284,38 @@ def make_fastssc_decoder(
         from ..ops.pallas.decoder_kernel import make_subtree_decoder
 
         kdtype = kernel_compute_dtype or _jnp.float32
-        cache: dict = {}
 
-        def subtree_kernel_for(node: Node):
-            if node.level > kernel_level or node.mesg_bits < 1:
-                return None
-            key = emit_program(node, node.level).tobytes()
-            if key not in cache:
-                # jit the subtree decoder so repeated call sites of the
-                # same frozen pattern reuse ONE traced/lowered body (a
-                # pjit call in the outer jaxpr) instead of re-tracing the
-                # kernel at every site — at m=20 the upper tree has ~512
-                # sites but only ~a dozen distinct patterns
-                import jax as _jax
+        def _kernel_for(layout: str):
+            cache: dict = {}
 
-                cache[key] = _jax.jit(make_subtree_decoder(
-                    node,
-                    frame_tile=kernel_frame_tile,
-                    compute_dtype=kdtype,
-                    interpret=kernel_interpret,
-                    style=kernel_style,
-                    emit_cw=use_fused_cw,
-                ))
-            return cache[key]
+            def subtree_kernel_for(node: Node):
+                if node.level > kernel_level or node.mesg_bits < 1:
+                    return None
+                key = emit_program(node, node.level).tobytes()
+                if key not in cache:
+                    # jit the subtree decoder so repeated call sites of
+                    # the same frozen pattern reuse ONE traced/lowered
+                    # body (a pjit call in the outer jaxpr) instead of
+                    # re-tracing the kernel at every site — at m=20 the
+                    # upper tree has ~512 sites but only ~a dozen
+                    # distinct patterns
+                    import jax as _jax
+
+                    cache[key] = _jax.jit(make_subtree_decoder(
+                        node,
+                        frame_tile=kernel_frame_tile,
+                        compute_dtype=kdtype,
+                        interpret=kernel_interpret,
+                        style=kernel_style,
+                        emit_cw=use_fused_cw,
+                        layout=layout,
+                    ))
+                return cache[key]
+
+            return subtree_kernel_for
+
+        kernel_for = {"frame": _kernel_for("frame"),
+                      "lane": _kernel_for("lane")}
 
     def decode(llrs):
         from ..encode import encode as reencode
@@ -302,7 +332,7 @@ def make_fastssc_decoder(
                 llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         ph, work_dtype = _resolve_arith(compute, llrs.dtype)
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
-        dec = _TreeDecoder(ph, subtree_kernel_for, want_cw=use_fused_cw)
+        dec = _TreeDecoder(ph, kernel_for["frame"], want_cw=use_fused_cw)
         _, cw = dec.decode(tree, x)
         u = jnp.concatenate(dec.mesg, axis=-1)
         out_dtype = output_dtype or u.dtype
@@ -321,4 +351,45 @@ def make_fastssc_decoder(
             return cast(cw)
         return cast(u), cast(cw)
 
+    def decode_lane_major(llr_t):
+        """Zero-transpose entry: LLRs ``(N, B)`` element-major → outputs
+        with the code axis leading (``u (K, B)``, ``cw (N, B)``). Subtree
+        kernels run in their native tile layout with NO transposes and
+        the upper XLA f/g touch contiguous row blocks — the large-N
+        analog of the whole-block decoder's ``lane_major`` entry
+        (the reference's interleaved lane-major buffers,
+        ``testbench.cc:72``)."""
+        if llr_t.ndim != 2 or llr_t.shape[0] != code.N:
+            raise ValueError(f"expected (N={code.N}, B) lane-major LLRs")
+        batch = llr_t.shape[1]
+        if kernel_level is not None:
+            pad = (-batch) % kernel_frame_tile
+            if pad:
+                llr_t = jnp.pad(llr_t, ((0, 0), (0, pad)))
+        ph, work_dtype = _resolve_arith(compute, llr_t.dtype)
+        x = llr_t if work_dtype is None else llr_t.astype(work_dtype)
+        dec = _TreeDecoder(ph, kernel_for["lane"], want_cw=use_fused_cw,
+                           axis=0)
+        _, cw = dec.decode(tree, x)
+        u = jnp.concatenate(dec.mesg, axis=0)
+        out_dtype = output_dtype or u.dtype
+
+        def cast(a):
+            a = a.astype(out_dtype) if a.dtype != out_dtype else a
+            return a[:, :batch]
+
+        if output == "u":
+            return cast(u)
+        if cw is None:
+            # element-major re-encode: scatter u rows into the +1-filled
+            # u-domain column block, transform down the rows
+            full = jnp.ones((code.N, u.shape[1]), u.dtype)
+            cw = polar_transform(full.at[info, :].set(u), axis=0)
+        if output == "systematic":
+            return cast(cw[info, :])
+        if output == "codeword":
+            return cast(cw)
+        return cast(u), cast(cw)
+
+    decode.lane_major = decode_lane_major
     return decode

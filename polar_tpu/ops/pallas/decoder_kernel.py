@@ -448,6 +448,7 @@ def make_subtree_decoder(
     interpret: bool = False,
     style: str = "ssa",
     emit_cw: bool = False,
+    layout: str = "frame",
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -466,6 +467,12 @@ def make_subtree_decoder(
     systematic/codeword output combines these node-wise in XLA instead
     of re-encoding the full u vector (``testbench.cc:177-183``
     semantics, bit-exact).
+
+    ``layout``: ``"frame"`` (default) takes/returns frame-major
+    ``(B, len)`` arrays (two transposes around the kernel's native
+    element-major tiles); ``"lane"`` takes/returns element-major
+    ``(len, B)`` directly — the zero-transpose path used by the
+    lane-major hybrid decoder.
     """
     n = 1 << tree.level
     k = tree.mesg_bits
@@ -515,6 +522,19 @@ def make_subtree_decoder(
             ),
             interpret=interpret,
         )(soft_t)
+
+    if layout == "lane":
+        def decode_lane(soft_t):
+            if soft_t.shape[0] != n or soft_t.shape[1] % frame_tile:
+                raise ValueError(
+                    f"lane layout expects (len={n}, B) with B a multiple "
+                    f"of frame_tile {frame_tile}, got {soft_t.shape}"
+                )
+            return call(soft_t)
+
+        return decode_lane
+    if layout != "frame":
+        raise ValueError(f"unknown layout {layout!r}")
 
     def decode(soft):
         if soft.shape[0] % frame_tile:

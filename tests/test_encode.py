@@ -114,3 +114,19 @@ def test_transform_stage_split_commutes():
             polar_transform_stages(x, split, 256), 1, split)
         assert np.array_equal(np.asarray(bt), np.asarray(full))
         assert np.array_equal(np.asarray(tb), np.asarray(full))
+
+
+def test_transform_axis0_matches_transpose():
+    """Element-major transform (axis=0, code axis leading) must equal the
+    frame-major transform of the transpose — incl. stage splits (the
+    lane-major large-N front path's XLA middle)."""
+    from polar_tpu.ops.transform import polar_transform, polar_transform_stages
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray((1 - 2 * rng.integers(0, 2, (7, 128))).astype(np.int8))
+    got = polar_transform(x.T, axis=0)
+    assert np.array_equal(np.asarray(got).T, np.asarray(polar_transform(x)))
+    for lo, hi in ((1, 8), (8, 128), (2, 64)):
+        got = polar_transform_stages(x.T, lo, hi, axis=0)
+        want = polar_transform_stages(x, lo, hi)
+        assert np.array_equal(np.asarray(got).T, np.asarray(want))

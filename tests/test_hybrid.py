@@ -148,15 +148,70 @@ def test_hybrid_kernel_cache_shared():
     # count distinct kernels by tracing once and inspecting the closure cache
     llr = _llrs(code, 128, 1)
     jax.jit(dec)(llr).block_until_ready()
-    # reach into the closure to find the cache dict
+    # reach into the closure to find the cache dict (the per-layout
+    # subtree_kernel_for closures live in the kernel_for dict)
     cells = [c.cell_contents for c in dec.__closure__ or []]
-    # the subtree_kernel_for closure holds the cache
-    found = False
+    cands = []
     for c in cells:
-        if callable(c) and c.__name__ == "subtree_kernel_for":
+        cands.append(c)
+        if isinstance(c, dict):
+            cands.extend(c.values())
+    sizes = []
+    for c in cands:
+        if callable(c) and getattr(c, "__name__", "") == "subtree_kernel_for":
             inner = [x.cell_contents for x in c.__closure__ or []]
-            for obj in inner:
-                if isinstance(obj, dict):
-                    assert len(obj) >= 1
-                    found = True
-    assert found
+            sizes.extend(len(obj) for obj in inner if isinstance(obj, dict))
+    # the traced (frame) layout's cache must be populated; the untraced
+    # lane layout's cache may legitimately be empty
+    assert sizes and max(sizes) >= 1
+
+
+@pytest.mark.parametrize("output", ["u", "systematic", "codeword"])
+def test_hybrid_lane_major_matches_frame_major(output):
+    """The zero-transpose lane-major entry (element-major recursion +
+    lane-layout subtree kernels) must be bit-identical to the frame-major
+    hybrid path — tie-heavy LLRs included."""
+    code = pt.make_code(9, rate=0.5)
+    rng = np.random.default_rng(23)
+    llr = jnp.asarray(np.concatenate([
+        rng.integers(-2, 3, (64, code.N)),
+        rng.integers(-128, 128, (64, code.N)),
+    ]).astype(np.int8))
+    dec = make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8, kernel_level=6,
+        kernel_frame_tile=128, kernel_interpret=True,
+    )
+    ref = np.asarray(jax.jit(dec)(llr))
+    lane = np.asarray(jax.jit(dec.lane_major)(llr.T)).T
+    np.testing.assert_array_equal(lane, ref)
+
+
+@pytest.mark.parametrize("output", ["u", "systematic", "codeword", "both"])
+def test_xla_lane_major_matches_frame_major(output):
+    """Pure-XLA lane-major path (axis=0 recursion, element-major
+    re-encode fallback) vs the frame-major decoder."""
+    code = pt.make_code(8, rate=0.5)
+    llr = _llrs(code, 64, 7)
+    dec = make_fastssc_decoder(code, output=output, output_dtype=jnp.int8)
+    ref = jax.jit(dec)(llr)
+    lane = jax.jit(dec.lane_major)(llr.T)
+    if output == "both":
+        for r, l in zip(ref, lane):
+            np.testing.assert_array_equal(np.asarray(l).T, np.asarray(r))
+    else:
+        np.testing.assert_array_equal(np.asarray(lane).T, np.asarray(ref))
+
+
+def test_hybrid_lane_major_pads_batch():
+    """Lane-major batches not a multiple of the kernel frame tile are
+    padded internally, mirroring the frame-major contract."""
+    code = pt.make_code(9, rate=0.5)
+    llr = _llrs(code, 100, 11)
+    dec = make_fastssc_decoder(
+        code, output="systematic", output_dtype=jnp.int8, kernel_level=6,
+        kernel_frame_tile=128, kernel_interpret=True,
+    )
+    ref = np.asarray(jax.jit(dec)(llr))
+    lane = np.asarray(jax.jit(dec.lane_major)(llr.T)).T
+    assert lane.shape == ref.shape
+    np.testing.assert_array_equal(lane, ref)
