@@ -64,6 +64,12 @@ class CampaignResult:
         )
 
 
+# front-path configuration (the zero-transpose element-major chain)
+_FRONT_WHOLE_MAX_LEVEL = 13   # make_pallas_front / whole-code SSA ceiling
+_FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
+_FRONT_KERNEL_LEVEL = 13      # hybrid decode subtree level (kl13-t128)
+
+
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                    decoder=None, compute=None, rng: str = "threefry",
                    rng_interpret: bool = False):
@@ -86,25 +92,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     trace time. ``"pallas-bits"`` is the CPU/interpret-testable variant
     (threefry-drawn bits through the identical in-kernel math).
     """
-    if decoder is None:
-        if compute is None and jnp.dtype(dtype) == jnp.int8:
-            # champion decoder for the current backend (pallas/hybrid on
-            # TPU, XLA path elsewhere) — bit-exact across all variants.
-            # Only for int8 LLRs: the kernels' integer-exact arithmetic
-            # (clip-based sign etc.) requires integer-valued inputs.
-            from .decode.auto import make_auto_decoder
-
-            decoder, _ = make_auto_decoder(
-                code, output="systematic" if systematic else "u",
-                output_dtype=dtype,
-            )
-        else:
-            decoder = make_fastssc_decoder(
-                code,
-                output="systematic" if systematic else "u",
-                compute=compute,
-                output_dtype=dtype,
-            )
+    pinned_decoder = decoder is not None
     enc = encode_systematic if systematic else encode
 
     if rng not in ("threefry", "pallas", "pallas-bits"):
@@ -112,25 +100,40 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     use_kernel_rng = rng != "threefry" and jnp.dtype(dtype) == jnp.int8
     if rng == "pallas" and jax.default_backend() != "tpu":
         use_kernel_rng = False  # in-kernel PRNG has no CPU lowering
-    # zero-transpose front path: for whole-block codes (N ≤ 8192) the
-    # entire pre-decode chain runs as ONE element-major kernel
-    # (make_pallas_front) feeding the decoder's lane_major entry, with
-    # cw-domain counters — no scatter, no transposes, no per-stage HBM
-    # traffic. Only when the caller didn't pin a decoder.
-    use_front = (use_kernel_rng and systematic and decoder is None
-                 and compute is None and 2 <= code.level <= 13)
-    front = front_dec = None
+    # zero-transpose front path: the entire pre-decode chain runs
+    # element-major Pallas kernels feeding the decoder's lane_major
+    # entry, with cw-domain counters — no scatter, no transposes, no
+    # per-stage HBM traffic. Whole-block codes (N ≤ 8192) use the single
+    # front kernel + whole-code SSA decoder; larger codes the block-
+    # structured front + hybrid (kl13-t128) lane-major decoder. Only
+    # when the caller didn't pin a decoder.
+    use_front = (use_kernel_rng and systematic and not pinned_decoder
+                 and compute is None and 2 <= code.level)
+    front = decode_cw_lane = None
     if use_front:
-        from .ops.pallas.decoder_kernel import make_pallas_decoder
-        from .ops.pallas.step_kernel import (_bits_to_normals, _bits_to_sym,
-                                             make_pallas_front)
-        front = make_pallas_front(
-            code, frame_tile=128, interpret=rng_interpret,
-            prng="inject" if rng == "pallas-bits" else "native")
-        front_dec = make_pallas_decoder(
-            code, frame_tile=128, compute_dtype=jnp.float32,
-            output_dtype=jnp.int8, style="ssa", output="codeword",
-            interpret=rng_interpret)
+        from .ops.pallas.step_kernel import _bits_to_normals, _bits_to_sym
+        kprng = "inject" if rng == "pallas-bits" else "native"
+        if code.level <= _FRONT_WHOLE_MAX_LEVEL:
+            from .ops.pallas.decoder_kernel import make_pallas_decoder
+            from .ops.pallas.step_kernel import make_pallas_front
+            front = make_pallas_front(
+                code, frame_tile=128, interpret=rng_interpret, prng=kprng)
+            front_dec = make_pallas_decoder(
+                code, frame_tile=128, compute_dtype=jnp.float32,
+                output_dtype=jnp.int8, style="ssa", output="codeword",
+                interpret=rng_interpret)
+            decode_cw_lane = lambda llr_t: front_dec.lane_major(llr_t)[1]  # noqa: E731
+        else:
+            from .ops.pallas.step_kernel import make_pallas_front_blocks
+            front = make_pallas_front_blocks(
+                code, frame_tile=128,
+                block_level=min(_FRONT_BLOCK_LEVEL, code.level - 1),
+                interpret=rng_interpret, prng=kprng)
+            front_dec = make_fastssc_decoder(
+                code, output="codeword", output_dtype=jnp.int8,
+                kernel_level=min(_FRONT_KERNEL_LEVEL, code.level - 1),
+                kernel_frame_tile=128, kernel_interpret=rng_interpret)
+            decode_cw_lane = front_dec.lane_major
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
     if use_kernel_rng:
         from .ops.pallas.channel_kernel import (make_pallas_awgn,
@@ -168,8 +171,8 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         return message, codeword, llrs
 
     def step_front(key, snr_db, batch):
-        """Element-major end-to-end: front kernel → lane_major decode →
-        cw-domain counters (the step-kernel counter math in XLA —
+        """Element-major end-to-end: front kernel(s) → lane_major decode
+        → cw-domain counters (the step-kernel counter math in XLA —
         exactness pinned by test_step_kernel/test_channel_kernel)."""
         kmsg, knoise = jax.random.split(key)
         if rng == "pallas-bits":
@@ -179,7 +182,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                                 snr_db)
         else:
             llr_t, cw_t = front(key, snr_db, batch)
-        cw_hat_t = front_dec.lane_major(llr_t)[1]
+        cw_hat_t = decode_cw_lane(llr_t)
         zero_d = (cw_hat_t == 0) & info_rows
         err = (cw_hat_t != cw_t) & info_rows
         awgn = (llr_t != 0) & ((llr_t < 0) != (cw_t < 0))
@@ -191,6 +194,29 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
             "quantization_erasures": jnp.sum(llr_t == 0, dtype=jnp.int32),
         }
 
+    # the non-front fallback's decoder is built lazily: front-path
+    # campaigns never trace it (champion decoder construction is real
+    # work, and the front has its own fused decode)
+    _dec_cell = [decoder] if pinned_decoder else []
+
+    def get_decoder():
+        if not _dec_cell:
+            if compute is None and jnp.dtype(dtype) == jnp.int8:
+                # champion decoder for the current backend (pallas/
+                # hybrid on TPU, XLA elsewhere) — bit-exact variants.
+                # Only for int8 LLRs: the kernels' integer-exact
+                # arithmetic (clip-based sign) needs integer values.
+                from .decode.auto import make_auto_decoder
+
+                _dec_cell.append(make_auto_decoder(
+                    code, output="systematic" if systematic else "u",
+                    output_dtype=dtype)[0])
+            else:
+                _dec_cell.append(make_fastssc_decoder(
+                    code, output="systematic" if systematic else "u",
+                    compute=compute, output_dtype=dtype))
+        return _dec_cell[0]
+
     def step(key, snr_db, batch: int):
         if use_front and batch % 128 == 0:
             return step_front(key, snr_db, batch)
@@ -200,7 +226,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 and pick_blocks(batch, code.N) is not None:
             draw = draw_kernels
         message, codeword, llrs = draw(kmsg, knoise, snr_db, batch)
-        decoded = decoder(llrs)
+        decoded = get_decoder()(llrs)
         # counters in the bool domain — no (B, N)/(B, K) int32
         # intermediates. Exact equivalences for message/codeword in
         # {-1,+1} and decoded/llrs int8:
@@ -479,14 +505,21 @@ def run_campaign(
     design = design_snr_db(1.0 - code.rate)
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
-    # when the fused Pallas step covers this config on TPU, the step is
-    # built WITHOUT a decoder so make_step's auto dispatch can pick the
-    # megakernel (a passed-in decoder pins the XLA chain); the standalone
-    # decoder below then only serves the decode-only Mb/s gauge
+    # when a kernel step path covers this config on TPU — the fused
+    # megakernel (N ≤ 4096) or the zero-transpose front chain (any N) —
+    # the step is built WITHOUT a decoder so make_step's auto dispatch
+    # can pick it (a passed-in decoder pins the XLA chain); the
+    # standalone decoder below then only serves the decode-only Mb/s
+    # gauge
+    on_tpu = jax.default_backend() == "tpu"
     fused_step = (fused == "auto" and decoder is None
                   and _fused_step_eligible(code, systematic, dtype, compute)
-                  and jax.default_backend() == "tpu")
-    if decoder is None and (measure_throughput or not fused_step):
+                  and on_tpu)
+    front_step = (fused == "auto" and decoder is None and on_tpu
+                  and systematic and compute is None
+                  and jnp.dtype(dtype) == jnp.int8 and 2 <= code.level)
+    kernel_step = fused_step or front_step
+    if decoder is None and (measure_throughput or not kernel_step):
         # build the decoder ONCE and share it between the Monte-Carlo step
         # and the throughput measurement (one trace/compile per campaign —
         # remote compiles are minutes, so the duplicate build was real time)
@@ -502,7 +535,7 @@ def run_campaign(
                 code, output="systematic" if systematic else "u",
                 compute=compute, output_dtype=dtype,
             )
-    step_decoder = None if fused_step else decoder
+    step_decoder = None if kernel_step else decoder
     if steps_per_call > 1:
         step = make_multi_step(code, systematic=systematic, dtype=dtype,
                                compute=compute, decoder=step_decoder,

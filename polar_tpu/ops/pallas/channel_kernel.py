@@ -41,16 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .step_kernel import _GOLDEN, _bits_to_unit, _key_seeds, _random_u32
-
-
-def _seed_grid_stream(seed_ref):
-    """Seed the hardware PRNG with an independent stream per (key, grid
-    step): the flattened 2-D grid index rides a golden-ratio multiply
-    into the second seed word (2-operand form — Mosaic rejects a third
-    ``prng_set_seed_32`` operand)."""
-    flat = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (flat * jnp.int32(_GOLDEN)))
+from .step_kernel import (_bits_to_unit, _key_seeds, _random_u32,
+                          _seed_grid_stream)
 
 
 def _normals(shape, bits=None):

@@ -111,6 +111,15 @@ def _random_u32(shape):
     return bits
 
 
+def _seed_grid_stream(seed_ref):
+    """Seed the hardware PRNG with an independent stream per (key, grid
+    step): the flattened 2-D grid index rides a golden-ratio multiply
+    into the second seed word (2-operand form — Mosaic rejects a third
+    ``prng_set_seed_32`` operand)."""
+    flat = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ (flat * jnp.int32(_GOLDEN)))
+
+
 def _const_col(col: np.ndarray):
     """(N, 1) compile-time column rebuilt inside the kernel as a concat
     of broadcast scalar runs — Pallas forbids capturing materialized
@@ -423,5 +432,225 @@ def make_pallas_front(
         return call([_snr_params(snr_db), _key_seeds(key)],
                     [params_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
                     kernel, batch)
+
+    return front
+
+
+# ---------------------------------------------------------------------
+# Block-structured front for large N (the whole-block front's VMEM limit
+# is N=8192): the same chain split by the butterfly's commuting stage
+# factorization (see polar_tpu/ops/pallas/encode_kernel.py docstring).
+# ---------------------------------------------------------------------
+
+def _msg_block_kernel_native(mask_col, seed_ref, base_ref, o_ref):
+    """Per-row-block message kernel: draw ±1 symbols, pin frozen rows to
+    +1, apply the block-local bottom butterfly stages. ``base_ref`` is
+    the block's flat stream offset (block_index · grid_size), so every
+    (key, block, tile) triple is an independent hardware-PRNG stream."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(
+        seed_ref[0],
+        seed_ref[1] ^ ((base_ref[0] + pid) * jnp.int32(_GOLDEN)))
+    sym = _bits_to_sym(_random_u32(o_ref.shape))
+    if mask_col is not None:
+        frz = _const_col(mask_col)
+        sym = frz + (jnp.float32(1.0) - frz) * sym
+    o_ref[...] = _transform_value(sym).astype(jnp.int8)
+
+
+def _msg_block_kernel_inject(mask_col, msg_ref, o_ref):
+    sym = msg_ref[...].astype(jnp.float32)
+    if mask_col is not None:
+        frz = _const_col(mask_col)
+        sym = frz + (jnp.float32(1.0) - frz) * sym
+    o_ref[...] = _transform_value(sym).astype(jnp.int8)
+
+
+def _chan_block_body(params_ref, y_ref, llr_ref, cw_ref, normals):
+    cw = _transform_value(y_ref[...].astype(jnp.float32))
+    y = cw + params_ref[0] * normals
+    llr = jnp.clip(jnp.rint(params_ref[1] * y),
+                   jnp.float32(-128), jnp.float32(127))
+    llr_ref[...] = llr.astype(jnp.int8)
+    cw_ref[...] = cw.astype(jnp.int8)
+
+
+def _chan_block_kernel_native(params_ref, seed_ref, y_ref, llr_ref, cw_ref):
+    _seed_grid_stream(seed_ref)
+    normals = _bits_to_normals(_random_u32(y_ref.shape))
+    _chan_block_body(params_ref, y_ref, llr_ref, cw_ref, normals)
+
+
+def _chan_block_kernel_inject(params_ref, y_ref, nrm_ref, llr_ref, cw_ref):
+    _chan_block_body(params_ref, y_ref, llr_ref, cw_ref, nrm_ref[...])
+
+
+def make_pallas_front_blocks(
+    code: PolarCode,
+    *,
+    frame_tile: int = 128,
+    block_level: int = 13,
+    chan_block_level: int | None = None,
+    interpret: bool = False,
+    prng: str = "native",
+):
+    """Large-N Monte-Carlo front: :func:`make_pallas_front`'s chain as
+    block-local kernels around a thin element-major XLA middle.
+
+    The whole-block front tops out at N=8192 (one frame tile's chain
+    live set must fit VMEM). Here the butterfly's commuting stage split
+    (``T = P_top ∘ B_bot = B_bot ∘ P_top``, proven by
+    ``tests/test_encode.py::test_transform_stage_split_commutes``)
+    restructures the systematic chain ``T(mask·T(u₀))`` as
+
+        kernel A (per 2^block_level row block): msg draw + freeze mask
+            + bottom butterfly                               [VMEM]
+        XLA middle (element-major, contiguous rows): top stages,
+            refreeze, top stages                             [thin]
+        kernel B (one 2-D grid): bottom butterfly + AWGN + quantize
+                                                             [VMEM]
+
+    so each kernel holds only a (block, frame_tile) slab and the chain
+    scales to any N. All-frozen row blocks skip kernel A entirely (their
+    u-domain block is +1 everywhere). Per-block freeze masks are baked
+    as broadcast-run constants, deduped by pattern like the hybrid
+    encoder. Kernel B draws paired Box-Muller normals in-kernel (half
+    the transcendentals of the elementwise AWGN kernel's cosine-only
+    form). Outputs ``(llr_t, cw_t)``, both ``(N, B)`` int8 — ready for
+    the hybrid decoder's zero-transpose ``lane_major`` entry.
+
+    Reference semantics: ``testbench.cc:126-165`` (message, systematic
+    encode via ``polar_encoder.hh:38-57``, AWGN, int8 LLR quantize per
+    ``polar_helper.hh:194-198``). The ``inject`` mode
+    (``front(msg_sym_t, normals_t, snr_db)``) is bit-exact with
+    :func:`make_pallas_front`'s inject mode on identical inputs.
+    """
+    from ..transform import polar_transform_stages
+
+    n = code.N
+    blk_a = 1 << min(block_level, code.level)
+    blk_b = 1 << min(chan_block_level if chan_block_level is not None
+                     else block_level, code.level)
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+    if prng not in ("native", "inject"):
+        raise ValueError(f"unknown prng mode {prng!r}")
+    frozen = np.asarray(code.frozen, np.int8)
+    frozen_col = jnp.asarray((frozen != 0).reshape(n, 1))
+    inject = prng == "inject"
+
+    # --- kernel A: one call per row block, deduped by mask pattern ----
+    a_kernels: dict = {}
+
+    def _a_kernel(seg: np.ndarray):
+        if seg.any():
+            key_ = tuple(np.flatnonzero(np.diff(
+                np.concatenate([[1 - seg[0]], seg])))) + (int(seg[0]),)
+            mask_col = seg.astype(np.float32).reshape(blk_a, 1)
+        else:
+            key_, mask_col = ("allinfo",), None
+        if key_ not in a_kernels:
+            a_kernels[key_] = functools.partial(
+                _msg_block_kernel_inject if inject
+                else _msg_block_kernel_native, mask_col)
+        return a_kernels[key_]
+
+    nblk_a = n // blk_a
+    segs = [frozen[b * blk_a:(b + 1) * blk_a] for b in range(nblk_a)]
+    a_fns = [None if seg.all() else _a_kernel(seg) for seg in segs]
+    sem = ("arbitrary",) if interpret else ("parallel",)
+
+    def a_call(kern, ins, in_specs, batch):
+        return pl.pallas_call(
+            kern,
+            grid=(batch // frame_tile,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((blk_a, frame_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((blk_a, batch), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=sem),
+            interpret=interpret,
+        )(*ins)
+
+    def middle(x):
+        """Top butterfly stages + refreeze, element-major int8 (values
+        are ±1, products exact). ``P_top ∘ refreeze ∘ P_top`` — kernel A
+        supplied the first transform's bottom stages; kernel B applies
+        the second's (stage order commutes)."""
+        if blk_a < n:
+            x = polar_transform_stages(x, blk_a, n, axis=0)
+        x = jnp.where(frozen_col, jnp.int8(1), x)
+        if blk_b < n:
+            x = polar_transform_stages(x, blk_b, n, axis=0)
+        return x
+
+    # --- kernel B: single 2-D grid over (row blocks × frame tiles) ----
+    b_kernel = _chan_block_kernel_inject if inject \
+        else _chan_block_kernel_native
+    sem2 = ("arbitrary", "arbitrary") if interpret else \
+        ("parallel", "parallel")
+    b_blk = lambda: pl.BlockSpec((blk_b, frame_tile), lambda i, j: (i, j),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+
+    def b_call(ins, in_specs, batch):
+        return pl.pallas_call(
+            b_kernel,
+            grid=(n // blk_b, batch // frame_tile),
+            in_specs=in_specs,
+            out_specs=(b_blk(), b_blk()),
+            out_shape=(jax.ShapeDtypeStruct((n, batch), jnp.int8),
+                       jax.ShapeDtypeStruct((n, batch), jnp.int8)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=sem2),
+            interpret=interpret,
+        )(*ins)
+
+    params_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def _check_batch(batch):
+        if batch % frame_tile:
+            raise ValueError(f"batch {batch} not a multiple of "
+                             f"frame_tile {frame_tile}")
+
+    if inject:
+        def front_inject(msg_sym_t, normals_t, snr_db):
+            batch = msg_sym_t.shape[1]
+            if msg_sym_t.shape != (n, batch) or normals_t.shape != (n, batch):
+                raise ValueError("inject mode expects (N, B) inputs")
+            _check_batch(batch)
+            spec = pl.BlockSpec((blk_a, frame_tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+            blocks = [
+                jnp.ones((blk_a, batch), jnp.int8) if fn is None
+                else a_call(fn, [msg_sym_t[b * blk_a:(b + 1) * blk_a]],
+                            [spec], batch)
+                for b, fn in enumerate(a_fns)
+            ]
+            y = middle(jnp.concatenate(blocks, axis=0)
+                       if len(blocks) > 1 else blocks[0])
+            return b_call(
+                [_snr_params(snr_db), y, normals_t],
+                [params_spec, b_blk(), b_blk()], batch)
+
+        return front_inject
+
+    def front(key, snr_db, batch: int):
+        _check_batch(batch)
+        kmsg, knoise = jax.random.split(key)
+        seeds_a = _key_seeds(kmsg)
+        ntiles = batch // frame_tile
+        blocks = [
+            jnp.ones((blk_a, batch), jnp.int8) if fn is None
+            else a_call(fn, [seeds_a, jnp.full((1,), b * ntiles, jnp.int32)],
+                        [smem, smem], batch)
+            for b, fn in enumerate(a_fns)
+        ]
+        y = middle(jnp.concatenate(blocks, axis=0)
+                   if len(blocks) > 1 else blocks[0])
+        return b_call(
+            [_snr_params(snr_db), _key_seeds(knoise), y],
+            [params_spec, smem, b_blk()], batch)
 
     return front

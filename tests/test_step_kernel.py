@@ -208,3 +208,51 @@ def test_front_path_counters_match_reference_chain():
     noisy = body(jax.random.PRNGKey(1), -1.5, 256)
     assert int(noisy["awgn_errors"]) > 0
     assert int(noisy["uncorrected_errors"]) > 0
+
+
+@pytest.mark.parametrize("bl,cbl", [(6, 6), (6, 5), (4, 7)])
+def test_front_blocks_inject_matches_whole_front(bl, cbl):
+    """The block-structured large-N front (kernel A blocks + element-
+    major XLA middle + kernel B grid) must be bit-identical to the
+    whole-block front kernel on identical message symbols and normals —
+    including asymmetric A/B block levels."""
+    from polar_tpu.ops.pallas.step_kernel import (make_pallas_front,
+                                                  make_pallas_front_blocks)
+
+    code = pt.make_code(9, rate=0.5)
+    rng = np.random.default_rng(5)
+    batch, snr = 256, -1.0
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, batch))).astype(np.int8))
+    nrm_t = jnp.asarray(rng.standard_normal((code.N, batch), np.float32))
+    whole = make_pallas_front(code, frame_tile=128, interpret=True,
+                              prng="inject")
+    blockf = make_pallas_front_blocks(
+        code, frame_tile=128, block_level=bl, chan_block_level=cbl,
+        interpret=True, prng="inject")
+    lw, cww = whole(msg_t, nrm_t, snr)
+    lb, cwb = blockf(msg_t, nrm_t, snr)
+    assert np.array_equal(np.asarray(cww), np.asarray(cwb))
+    assert np.array_equal(np.asarray(lw), np.asarray(lb))
+
+
+def test_block_front_step_matches_whole_front_step(monkeypatch):
+    """make_step_body's large-N branch (block front + hybrid lane_major
+    decode) must count bit-identically to the whole-front branch on the
+    same key in bits mode (identical streams end to end)."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(9, rate=0.5)
+    whole = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    # force the block-front branch for this small code
+    monkeypatch.setattr(ber, "_FRONT_WHOLE_MAX_LEVEL", 5)
+    blockb = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    for k, snr in [(0, 14.0), (3, -1.0), (4, 1.5)]:
+        a = {n: int(v)
+             for n, v in blockb(jax.random.PRNGKey(k), snr, 256).items()}
+        b = {n: int(v)
+             for n, v in whole(jax.random.PRNGKey(k), snr, 256).items()}
+        assert a == b, (snr, a, b)
+    # odd batches fall back to the XLA chain (lazy decoder build)
+    out = blockb(jax.random.PRNGKey(2), 14.0, 100)
+    assert int(out["uncorrected_errors"]) == 0
