@@ -109,20 +109,19 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     # when the caller didn't pin a decoder.
     use_front = (use_kernel_rng and systematic and not pinned_decoder
                  and compute is None and 2 <= code.level)
-    front = decode_cw_lane = None
+    front = decode_cw_lane = decode_count = None
     if use_front:
         from .ops.pallas.step_kernel import _bits_to_normals, _bits_to_sym
         kprng = "inject" if rng == "pallas-bits" else "native"
         if code.level <= _FRONT_WHOLE_MAX_LEVEL:
-            from .ops.pallas.decoder_kernel import make_pallas_decoder
-            from .ops.pallas.step_kernel import make_pallas_front
+            from .ops.pallas.step_kernel import (make_pallas_decode_count,
+                                                 make_pallas_front)
             front = make_pallas_front(
                 code, frame_tile=128, interpret=rng_interpret, prng=kprng)
-            front_dec = make_pallas_decoder(
-                code, frame_tile=128, compute_dtype=jnp.float32,
-                output_dtype=jnp.int8, style="ssa", output="codeword",
-                interpret=rng_interpret)
-            decode_cw_lane = lambda llr_t: front_dec.lane_major(llr_t)[1]  # noqa: E731
+            # decode + counters fused in one kernel: no cw_hat HBM round
+            # trip, no XLA counter reductions
+            decode_count = make_pallas_decode_count(
+                code, frame_tile=128, interpret=rng_interpret)
         else:
             from .ops.pallas.step_kernel import make_pallas_front_blocks
             front = make_pallas_front_blocks(
@@ -171,9 +170,10 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         return message, codeword, llrs
 
     def step_front(key, snr_db, batch):
-        """Element-major end-to-end: front kernel(s) → lane_major decode
-        → cw-domain counters (the step-kernel counter math in XLA —
-        exactness pinned by test_step_kernel/test_channel_kernel)."""
+        """Element-major end-to-end: front kernel(s) → decode+count
+        kernel (whole-block codes) or lane_major decode + cw-domain XLA
+        counters (block-structured codes). Counter math exactness is
+        pinned by test_step_kernel/test_channel_kernel."""
         kmsg, knoise = jax.random.split(key)
         if rng == "pallas-bits":
             nb = jax.random.bits(knoise, (code.N, batch), jnp.uint32)
@@ -182,6 +182,8 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                                 snr_db)
         else:
             llr_t, cw_t = front(key, snr_db, batch)
+        if decode_count is not None:
+            return decode_count(llr_t, cw_t)
         cw_hat_t = decode_cw_lane(llr_t)
         zero_d = (cw_hat_t == 0) & info_rows
         err = (cw_hat_t != cw_t) & info_rows

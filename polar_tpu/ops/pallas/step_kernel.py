@@ -341,6 +341,80 @@ def make_pallas_step(
     return step_native
 
 
+def _decode_count_kernel(tree, frozen_col, cdtype, llr_ref, cw_ref, out_ref):
+    """Decode + the testbench counters as ONE kernel: the back half of
+    the zero-transpose front path. Removes the XLA counter reductions
+    AND the (N, B) cw_hat HBM round trip — the decoder's codeword
+    estimate is consumed in VMEM by the counter epilogue."""
+    llr = llr_ref[...].astype(jnp.float32)
+    cw = cw_ref[...].astype(jnp.float32)
+    b = _SsaBuilder(None, cdtype)
+    cw_hat = b.node(tree, llr.astype(cdtype), safe=False,
+                    need_hard=False, need_cw=True)[1]
+    info_col = jnp.float32(1.0) - _const_col(frozen_col)
+    _count_and_store(out_ref, llr, cw, cw_hat.astype(jnp.float32), info_col)
+
+
+def make_pallas_decode_count(
+    code: PolarCode,
+    tree: Node | None = None,
+    *,
+    frame_tile: int = 128,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build ``count(llr_t, cw_t) -> counter dict``: whole-code SSA
+    decode fused with the Monte-Carlo counters (``testbench.cc:185-192``
+    semantics, identical math to :func:`make_pallas_step`'s epilogue).
+    Inputs are element-major ``(N, B)`` int8 — exactly what
+    :func:`make_pallas_front` emits — so the whole-block front step is
+    two kernels with ONE (llr, cw) HBM hop between them and five scalars
+    out. Counters are bit-identical to the XLA counter math on the same
+    inputs (pinned by ``tests/test_step_kernel.py``)."""
+    if tree is None:
+        tree = compile_code(code)
+    n = code.N
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+    frozen_col = np.asarray(code.frozen, np.float32).reshape(n, 1)
+    kernel = functools.partial(_decode_count_kernel, tree, frozen_col,
+                               compute_dtype)
+
+    def count(llr_t, cw_t):
+        if llr_t.shape != cw_t.shape or llr_t.shape[0] != n:
+            raise ValueError(f"expected matching (N={n}, B) inputs")
+        batch = llr_t.shape[1]
+        if batch % frame_tile:
+            raise ValueError(f"batch {batch} not a multiple of "
+                             f"frame_tile {frame_tile}")
+        grid = batch // frame_tile
+        blk = lambda: pl.BlockSpec((n, frame_tile), lambda i: (0, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[blk(), blk()],
+            # whole-array SMEM output, per-step rows via program_id (see
+            # make_pallas_step: sub-(8,128) output blocks don't lower)
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(llr_t, cw_t)
+        t = jnp.sum(out, axis=0)
+        return {
+            "uncorrected_errors": t[0],
+            "frame_errors": t[1],
+            "ambiguity_erasures": t[2],
+            "awgn_errors": t[3],
+            "quantization_erasures": t[4],
+        }
+
+    return count
+
+
 def _front_kernel_native(n, frozen_col, frame_tile, params_ref, seed_ref,
                          llr_ref, cw_ref):
     pid_mix = pl.program_id(0) * jnp.int32(_GOLDEN)

@@ -210,6 +210,48 @@ def test_front_path_counters_match_reference_chain():
     assert int(noisy["uncorrected_errors"]) > 0
 
 
+def test_decode_count_kernel_matches_xla_counter_math():
+    """make_pallas_decode_count (decode + counters fused in one kernel)
+    must produce the exact counters of lane_major decode + the XLA
+    bool-domain counter math on identical (llr_t, cw_t) inputs —
+    including zero LLRs and saturation values."""
+    from polar_tpu.ops.pallas.decoder_kernel import make_pallas_decoder
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_decode_count
+
+    code = pt.make_code(8, rate=0.5)
+    rng = np.random.default_rng(17)
+    batch = 256
+    llr_t = jnp.asarray(rng.integers(-128, 128, (code.N, batch), np.int64)
+                        .astype(np.int8))
+    # a valid random codeword batch (±1), transposed to element-major
+    msg = jnp.asarray((1 - 2 * rng.integers(0, 2, (batch, code.K)))
+                      .astype(np.int8))
+    cw_t = pt.encode_systematic(code, msg).T
+    count = make_pallas_decode_count(code, frame_tile=128, interpret=True)
+    got = {k: int(v) for k, v in count(llr_t, cw_t).items()}
+    dec = make_pallas_decoder(code, frame_tile=128, style="ssa",
+                              output="codeword", output_dtype=jnp.int8,
+                              interpret=True)
+    cw_hat_t = dec.lane_major(llr_t)[1]
+    info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
+    zero_d = (cw_hat_t == 0) & info_rows
+    err = (cw_hat_t != cw_t) & info_rows
+    ref = {
+        "uncorrected_errors": int(jnp.sum(err, dtype=jnp.int32)),
+        "frame_errors": int(jnp.sum(jnp.any(err, axis=0), dtype=jnp.int32)),
+        "ambiguity_erasures": int(jnp.sum(zero_d, dtype=jnp.int32)),
+        "awgn_errors": int(jnp.sum(
+            (llr_t != 0) & ((llr_t < 0) != (cw_t < 0)), dtype=jnp.int32)),
+        "quantization_erasures": int(jnp.sum(llr_t == 0, dtype=jnp.int32)),
+    }
+    assert got == ref
+    assert got["quantization_erasures"] > 0  # full-range draw hits zeros
+    with pytest.raises(ValueError):
+        count(llr_t, cw_t[:, :128])
+    with pytest.raises(ValueError):
+        count(llr_t[:, :100], cw_t[:, :100])
+
+
 @pytest.mark.parametrize("bl,cbl", [(6, 6), (6, 5), (4, 7)])
 def test_front_blocks_inject_matches_whole_front(bl, cbl):
     """The block-structured large-N front (kernel A blocks + element-
