@@ -136,7 +136,9 @@ def _const_col(col: np.ndarray):
 
 def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
     """The testbench counters (``testbench.cc:185-192``) over one tile,
-    in the bool domain (message/codeword in ±1, decoded in {-1,0,+1}):
+    in the bool domain (message/codeword in ±1, decoded in {-1,0,+1};
+    ``llr``/``cw``/``cw_hat`` may be int8 or f32 — only comparisons
+    touch them, so the counts are dtype-independent):
 
       decoded·message ≤ 0  ⟺  decoded==0 ∨ sign(decoded)≠sign(message)
       llr·codeword    < 0  ⟺  llr≠0 ∧ sign(llr)≠sign(codeword)
@@ -183,13 +185,21 @@ def _front(frozen_col, params_ref, msg_sym, normals):
 
 def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
     """encode → channel → quantize → decode → count, given the message
-    symbols and normals (however they were drawn)."""
+    symbols and normals (however they were drawn).
+
+    The llr/cw values the counter epilogue needs are narrowed to int8
+    immediately (exact: llr is already clipped to [-128, 127] and
+    integer-valued, cw is ±1) so the f32 front arrays die before the
+    decode — they otherwise stay live across the whole decode body and
+    dominate the kernel's VMEM peak (the old form OOM'd at m13-t128)."""
     llr, cw, info_col = _front(frozen_col, params_ref, msg_sym, normals)
+    llr8 = llr.astype(jnp.int8)
+    cw8 = cw.astype(jnp.int8)
     # decode (codeword-estimate track only; no u output)
     b = _SsaBuilder(None, cdtype)
-    cw_hat = b.node(tree, llr.astype(cdtype), safe=False,
+    cw_hat = b.node(tree, llr8.astype(cdtype), safe=False,
                     need_hard=False, need_cw=True)[1]
-    _count_and_store(out_ref, llr, cw, cw_hat.astype(jnp.float32), info_col)
+    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), info_col)
 
 
 def _step_kernel_bits(tree, n, frozen_col, cdtype, params_ref, bits_ref,
@@ -346,13 +356,15 @@ def _decode_count_kernel(tree, frozen_col, cdtype, llr_ref, cw_ref, out_ref):
     the zero-transpose front path. Removes the XLA counter reductions
     AND the (N, B) cw_hat HBM round trip — the decoder's codeword
     estimate is consumed in VMEM by the counter epilogue."""
-    llr = llr_ref[...].astype(jnp.float32)
-    cw = cw_ref[...].astype(jnp.float32)
+    llr8 = llr_ref[...]
+    cw8 = cw_ref[...]
     b = _SsaBuilder(None, cdtype)
-    cw_hat = b.node(tree, llr.astype(cdtype), safe=False,
+    cw_hat = b.node(tree, llr8.astype(cdtype), safe=False,
                     need_hard=False, need_cw=True)[1]
     info_col = jnp.float32(1.0) - _const_col(frozen_col)
-    _count_and_store(out_ref, llr, cw, cw_hat.astype(jnp.float32), info_col)
+    # counters compare in int8 (llr/cw/cw_hat are int8-exact values) so
+    # no widened copies outlive the decode body
+    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), info_col)
 
 
 def make_pallas_decode_count(

@@ -78,6 +78,21 @@ def stage_countfused():
               lambda: make_step_body(code, rng="pallas"), 4096)
 
 
+def stage_m13fused():
+    """The int8 counter-handoff shrinks the step kernel's VMEM peak (the
+    f32 llr/cw no longer outlive the decode): probe whether the all-in-
+    one fused step now fits m13-t128 (previous receipt: OOM) and whether
+    m12 gains a larger tile."""
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+
+    for m, batch, tile in ((13, 4096, 128), (12, 8192, 256)):
+        code = pt.make_code(m, rate=0.5)
+        _steprate(f"m{m}-stepkernel-int8cnt-t{tile}",
+                  lambda c=code, t=tile: make_pallas_step(
+                      c, frame_tile=t, prng="native"), batch)
+
+
 def stage_frontprofile():
     """Where the m14 block-front step goes: chained-slope timings of the
     front alone, front+decode, and the full step (front + decode +
@@ -147,14 +162,16 @@ def stage_frontprofile():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["blockfront", "frontprofile", "countfused"])
+                    choices=["blockfront", "frontprofile", "countfused",
+                             "m13fused"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     {"blockfront": stage_blockfront,
      "frontprofile": stage_frontprofile,
-     "countfused": stage_countfused}[args.stage]()
+     "countfused": stage_countfused,
+     "m13fused": stage_m13fused}[args.stage]()
 
 
 if __name__ == "__main__":
