@@ -47,6 +47,12 @@ def main() -> int:
                          "host round trip (amortizes dispatch at fused-"
                          "kernel step rates)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--retries", type=int, default=0,
+                    help="on a backend failure, re-exec into a fresh "
+                         "process up to this many times and resume from "
+                         "the --out checkpoint (the axon TPU relay can "
+                         "wedge a process: compile-helper HTTP 500s / "
+                         "backend-init hangs clear only on a new process)")
     args = ap.parse_args()
 
     import jax
@@ -74,22 +80,41 @@ def main() -> int:
         hi = args.snr_max if args.snr_max is not None else math.ceil(design + 5)
         snr_range = (lo, hi)
 
-    result = pt.run_campaign(
-        code,
-        seed=args.seed,
-        systematic=not args.non_systematic,
-        dtype=jnp.dtype(args.dtype),
-        compute=args.compute,
-        batch=args.batch,
-        max_frames_per_point=args.max_frames,
-        target_bit_errors=args.target_errors,
-        snr_range=snr_range,
-        snr_step=args.snr_step,
-        measure_throughput=not args.no_throughput,
-        verbose=True,
-        checkpoint_path=args.out,
-        steps_per_call=args.steps_per_call,
-    )
+    try:
+        result = pt.run_campaign(
+            code,
+            seed=args.seed,
+            systematic=not args.non_systematic,
+            dtype=jnp.dtype(args.dtype),
+            compute=args.compute,
+            batch=args.batch,
+            max_frames_per_point=args.max_frames,
+            target_bit_errors=args.target_errors,
+            snr_range=snr_range,
+            snr_step=args.snr_step,
+            measure_throughput=not args.no_throughput,
+            verbose=True,
+            checkpoint_path=args.out,
+            steps_per_call=args.steps_per_call,
+        )
+    except Exception as e:  # noqa: BLE001 — backend faults retried fresh
+        if args.retries <= 0 or args.out is None:
+            raise
+        print(f"campaign failed ({type(e).__name__}: {e}); re-execing with "
+              f"{args.retries - 1} retries left (resume from {args.out})",
+              file=sys.stderr, flush=True)
+        import os
+
+        argv, skip = [], False
+        for a in sys.argv[1:]:
+            if skip:                      # the value of a split --retries N
+                skip = False
+            elif a == "--retries":
+                skip = True
+            elif not a.startswith("--retries="):
+                argv.append(a)
+        os.execv(sys.executable, [sys.executable, sys.argv[0], *argv,
+                                  "--retries", str(args.retries - 1)])
     qef = result.qef_snr_db
     print(f"QEF at: {qef if math.isfinite(qef) else 'n/a'} SNR, "
           f"speed: {result.peak_mbps:.1f} Mb/s.", file=sys.stderr)
