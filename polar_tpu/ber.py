@@ -265,7 +265,8 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     ``fused``: ``"auto"`` (default) uses the single-Pallas-kernel step
     (:func:`polar_tpu.ops.pallas.step_kernel.make_pallas_step` — message
     gen, encode, AWGN, quantize, decode and counters all in VMEM, in-
-    kernel PRNG) on the TPU backend for systematic int8 N ≤ 4096;
+    kernel PRNG) on the TPU backend for int8 N ≤ 4096 (systematic and
+    plain modes);
     batches that aren't a ``fused_frame_tile`` multiple fall back to the
     XLA chain at trace time (the default tile is the measured per-N
     champion: 128 at N=4096, else 256). ``True`` forces it (raises if
@@ -287,11 +288,12 @@ _FUSED_TILE_BY_LEVEL = {11: 256, 12: 128}  # else 256; m10: t256 > t512
 
 def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
     """Whether the fused Pallas step kernel covers this configuration
-    (systematic int8, N ≤ 4096 — the step's VMEM live set is ~2.5× the
-    decode-only kernel's, so its ceiling sits one level below the
-    whole-code decoder's); the TPU-backend check is separate because
-    eligibility is also consulted by run_campaign."""
-    return (systematic and compute is None
+    (int8, N ≤ 4096 — the step's VMEM live set is ~2.5× the decode-only
+    kernel's, so its ceiling sits one level below the whole-code
+    decoder's; both systematic and plain modes are kernelized); the
+    TPU-backend check is separate because eligibility is also consulted
+    by run_campaign."""
+    return (compute is None
             and jnp.dtype(dtype) == jnp.int8
             and 2 <= code.level <= _FUSED_MAX_LEVEL)
 
@@ -331,7 +333,7 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
     from .ops.pallas.step_kernel import make_pallas_step
 
     fused_body = make_pallas_step(code, frame_tile=fused_frame_tile,
-                                  prng="native")
+                                  prng="native", systematic=systematic)
     # the XLA fallback (non-tile-multiple batches) builds its decoder
     # lazily: most fused campaigns never trace it, and the champion
     # decoder build is real work (kernel program construction)
@@ -497,7 +499,7 @@ def run_campaign(
     identical to an uninterrupted one (SURVEY.md §5 checkpoint/resume).
 
     On TPU, int8 campaigns draw from the hardware-PRNG Pallas kernels:
-    the whole step runs as the fused megakernel for systematic N ≤ 4096
+    the whole step runs as the fused megakernel for N ≤ 4096
     (unless ``decoder=`` pins a specific decode path), and larger codes
     keep their decoder but use the elementwise message/AWGN kernels (see
     :func:`make_step`). Pass ``fused=False`` to pin the pre-kernel

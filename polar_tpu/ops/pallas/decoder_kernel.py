@@ -281,12 +281,20 @@ class _SsaBuilder:
     concatenation instead of stack updates. Same sign-free ops, same
     saturation order — bit-exact with the scratch kernel (tested)."""
 
-    def __init__(self, mesg, compute_dtype):
+    def __init__(self, mesg, compute_dtype, collect_u: bool = False):
         # mesg may be None: consumers that only need the cw track (the
         # fused Monte-Carlo step kernel) skip the u-output stores.
         self.mesg = mesg
         self.moff = 0
         self.cdtype = compute_dtype
+        # collect_u: accumulate the FULL u-domain estimate (frozen slots
+        # +1) as blocks in u order; ``concat(u_parts)`` after node() is
+        # the decoder's (N, BT) leaf estimate — the reference decoder's
+        # output domain with frozen slots kept (the non-systematic step
+        # kernel compares it against the drawn u-domain message). Costs
+        # nothing but the concat: every block already exists.
+        self.collect_u = collect_u
+        self.u_parts: list = []
 
     def _emit(self, block):
         if self.mesg is None:
@@ -294,6 +302,15 @@ class _SsaBuilder:
         rows = block.shape[0]
         self.mesg[pl.ds(self.moff, rows), :] = block.astype(self.mesg.dtype)
         self.moff += rows
+
+    def _u(self, *blocks):
+        if self.collect_u:
+            self.u_parts.extend(blocks)
+
+    def u_full(self):
+        assert self.collect_u and self.u_parts
+        return (self.u_parts[0] if len(self.u_parts) == 1
+                else jnp.concatenate(self.u_parts, axis=0))
 
     def node(self, node: Node, soft, safe: bool, cabs=None,
              need_hard: bool = True, need_cw: bool = False):
@@ -311,19 +328,23 @@ class _SsaBuilder:
         while staying bit-exact with ``encode(code, u)``."""
         kind = node.kind
         if kind == "rate0":
-            ones = jnp.ones_like(soft) if (need_hard or need_cw) else None
+            ones = (jnp.ones_like(soft)
+                    if (need_hard or need_cw or self.collect_u) else None)
+            self._u(ones)
             return (ones if need_hard else None,
                     ones if need_cw else None)
         if kind == "rate1":
             hard = _isign(soft)
             t = _transform_value(hard)
             self._emit(t)
+            self._u(t)
             # all slots are info bits: u_segment = t, cw = T(t)
             return (hard if need_hard else None,
                     _transform_value(t) if need_cw else None)
         if kind == "rep":
             bit = _isign(_fold(soft, _sat_add))
             self._emit(bit)
+            self._u(jnp.ones_like(soft[:-1]), bit)
             # u_segment = [+1,...,+1,bit] → T is broadcast(bit), exactly
             # the hard estimate (holds for bit == 0 too)
             bc = (jnp.broadcast_to(bit, soft.shape)
@@ -339,6 +360,7 @@ class _SsaBuilder:
             hard = hard * (not_tie + (one - not_tie) * parity)
             v = _transform_value(hard)
             self._emit(v[1:])
+            self._u(jnp.ones_like(v[:1]), v[1:])
             cw = None
             if need_cw:
                 # u_segment = [+1 (frozen), v_1..v_{L-1}]
@@ -348,6 +370,7 @@ class _SsaBuilder:
         half = soft.shape[0] // 2
         a, b = soft[:half], soft[half:]
         if kind == "rate0_right":
+            self._u(jnp.ones_like(a))  # all-frozen left half, in u order
             hr, cwr = self.node(node.right, _sat_add(a, b), safe=False,
                                 need_hard=need_hard, need_cw=need_cw)
             # left half all-frozen: u_lo = ones → cw = [cw_r, cw_r]
@@ -361,6 +384,7 @@ class _SsaBuilder:
             hr = _isign(_sat_g(hl, ap, b))
             t = _transform_value(hr)
             self._emit(t)
+            self._u(t)
             cw = None
             if need_cw:
                 cwr = _transform_value(t)

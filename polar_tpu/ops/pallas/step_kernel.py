@@ -134,26 +134,30 @@ def _const_col(col: np.ndarray):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
 
 
-def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
+def _count_and_store(out_ref, llr, cw, hat, ref, info_col):
     """The testbench counters (``testbench.cc:185-192``) over one tile,
     in the bool domain (message/codeword in ±1, decoded in {-1,0,+1};
-    ``llr``/``cw``/``cw_hat`` may be int8 or f32 — only comparisons
-    touch them, so the counts are dtype-independent):
+    the arrays may be int8 or f32 — only comparisons touch them, so the
+    counts are dtype-independent):
 
       decoded·message ≤ 0  ⟺  decoded==0 ∨ sign(decoded)≠sign(message)
       llr·codeword    < 0  ⟺  llr≠0 ∧ sign(llr)≠sign(codeword)
 
-    In systematic mode the message IS the codeword at info rows, so the
-    decoded-vs-message comparison is cw_hat-vs-cw under the info mask.
-    f32 sums are exact for counts ≤ 2^24 (tile max N·BT < 2^21).
+    ``hat`` is the decoder's estimate and ``ref`` the transmitted truth
+    in the same domain: systematic mode compares the codeword-estimate
+    track against the codeword (the message IS the codeword at info
+    rows), non-systematic mode the u-domain leaf estimate against the
+    drawn u-domain message (frozen rows +1 on both sides, so the info
+    mask only gates the ambiguity counter there). f32 sums are exact
+    for counts ≤ 2^24 (tile max N·BT < 2^21).
 
     ``out_ref`` is the WHOLE (grid, 5) SMEM array (TPU lowering rejects
     sub-(8,128) output blocks); each grid step writes its own row.
     """
     one = jnp.float32(1.0)
-    zero_d = (cw_hat == 0).astype(jnp.float32)
-    # cw ∈ ±1, so cw_hat==0 ⟹ cw_hat≠cw: mismatch alone covers both arms
-    err = (cw_hat != cw).astype(jnp.float32) * info_col
+    zero_d = (hat == 0).astype(jnp.float32)
+    # ref ∈ ±1, so hat==0 ⟹ hat≠ref: mismatch alone covers both arms
+    err = (hat != ref).astype(jnp.float32) * info_col
     llr_z = (llr == 0).astype(jnp.float32)
     awgn = ((llr < 0) != (cw < 0)).astype(jnp.float32) * (one - llr_z)
     frame_err = jnp.max(err, axis=0, keepdims=True)
@@ -165,52 +169,70 @@ def _count_and_store(out_ref, llr, cw, cw_hat, info_col):
     out_ref[row, 4] = jnp.sum(llr_z).astype(jnp.int32)
 
 
-def _front(frozen_col, params_ref, msg_sym, normals):
-    """message mask → systematic encode → AWGN → quantize: the chain up
-    to (and excluding) the decode. Returns (llr, cw, info_col) in f32."""
+def _front(frozen_col, params_ref, msg_sym, normals, systematic=True):
+    """message mask → encode → AWGN → quantize: the chain up to (and
+    excluding) the decode. Returns (llr, cw, u0, info_col) in f32 —
+    ``u0`` is the frozen-pinned u-domain message (the non-systematic
+    error reference, ``testbench.cc:147-149``)."""
     sigma, scale = params_ref[0], params_ref[1]
     frz = _const_col(frozen_col)                        # (N, 1) f32 0/1
     info_col = jnp.float32(1.0) - frz
     one = jnp.float32(1.0)
-    # systematic encode, frozen rows pinned to +1 at both stages
+    # encode, frozen rows pinned to +1 (twice for systematic,
+    # polar_encoder.hh:38-57; once for plain, polar_encoder.hh:9-28)
     u0 = frz * one + info_col * msg_sym
     x = _transform_value(u0)
-    x = frz * one + info_col * x
-    cw = _transform_value(x)
+    if systematic:
+        x = frz * one + info_col * x
+        x = _transform_value(x)
+    cw = x
     # AWGN + LLR quantize (testbench.cc:151-165)
     y = cw + sigma * normals
     llr = jnp.clip(jnp.rint(scale * y), jnp.float32(-128), jnp.float32(127))
-    return llr, cw, info_col
+    return llr, cw, u0, info_col
 
 
-def _chain(tree, frozen_col, cdtype, params_ref, out_ref, msg_sym, normals):
+def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
+           msg_sym, normals):
     """encode → channel → quantize → decode → count, given the message
     symbols and normals (however they were drawn).
 
-    The llr/cw values the counter epilogue needs are narrowed to int8
+    The values the counter epilogue needs are narrowed to int8
     immediately (exact: llr is already clipped to [-128, 127] and
-    integer-valued, cw is ±1) so the f32 front arrays die before the
+    integer-valued, cw/u0 are ±1) so the f32 front arrays die before the
     decode — they otherwise stay live across the whole decode body and
     dominate the kernel's VMEM peak (the old form OOM'd at m13-t128)."""
-    llr, cw, info_col = _front(frozen_col, params_ref, msg_sym, normals)
+    llr, cw, u0, info_col = _front(frozen_col, params_ref, msg_sym, normals,
+                                   systematic)
     llr8 = llr.astype(jnp.int8)
     cw8 = cw.astype(jnp.int8)
-    # decode (codeword-estimate track only; no u output)
-    b = _SsaBuilder(None, cdtype)
-    cw_hat = b.node(tree, llr8.astype(cdtype), safe=False,
-                    need_hard=False, need_cw=True)[1]
-    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), info_col)
+    b = _SsaBuilder(None, cdtype, collect_u=not systematic)
+    if systematic:
+        # decode with the codeword-estimate track only; errors compare
+        # cw_hat vs cw at info rows (the message IS those rows)
+        hat = b.node(tree, llr8.astype(cdtype), safe=False,
+                     need_hard=False, need_cw=True)[1]
+        ref8 = cw8
+    else:
+        # u-domain leaf estimate vs the drawn u-domain message (frozen
+        # rows are +1 on both sides)
+        b.node(tree, llr8.astype(cdtype), safe=False,
+               need_hard=False, need_cw=False)
+        hat = b.u_full()
+        ref8 = u0.astype(jnp.int8)
+    _count_and_store(out_ref, llr8, cw8, hat.astype(jnp.int8), ref8,
+                     info_col)
 
 
-def _step_kernel_bits(tree, n, frozen_col, cdtype, params_ref, bits_ref,
-                      out_ref):
+def _step_kernel_bits(tree, n, frozen_col, cdtype, systematic, params_ref,
+                      bits_ref, out_ref):
     bits = bits_ref[...]
-    _chain(tree, frozen_col, cdtype, params_ref, out_ref,
+    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
            _bits_to_sym(bits[n:]), _bits_to_normals(bits[:n]))
 
 
-def _step_kernel_native(tree, n, frozen_col, cdtype, frame_tile, params_ref,
-                        seed_ref, out_ref):
+def _step_kernel_native(tree, n, frozen_col, cdtype, systematic, frame_tile,
+                        params_ref, seed_ref, out_ref):
     # 2-operand seed only: this Mosaic rejects a 3rd prng_set_seed_32
     # operand, so the grid index is mixed into the second word (golden-
     # ratio odd multiplier — distinct, well-spread stream per tile)
@@ -218,13 +240,13 @@ def _step_kernel_native(tree, n, frozen_col, cdtype, frame_tile, params_ref,
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
     noise_bits = _random_u32((n, frame_tile))
     msg_bits = _random_u32((n, frame_tile))
-    _chain(tree, frozen_col, cdtype, params_ref, out_ref,
+    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
            _bits_to_sym(msg_bits), _bits_to_normals(noise_bits))
 
 
-def _step_kernel_inject(tree, frozen_col, cdtype, params_ref, msg_ref,
-                        normal_ref, out_ref):
-    _chain(tree, frozen_col, cdtype, params_ref, out_ref,
+def _step_kernel_inject(tree, frozen_col, cdtype, systematic, params_ref,
+                        msg_ref, normal_ref, out_ref):
+    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
            msg_ref[...].astype(jnp.float32), normal_ref[...])
 
 
@@ -243,10 +265,17 @@ def make_pallas_step(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     prng: str = "native",
+    systematic: bool = True,
 ):
     """Build the fused Monte-Carlo step: ``step(key, snr_db, batch)`` →
-    the counter dict of :func:`polar_tpu.ber.make_step_body` (systematic
-    mode). ``batch`` must be a multiple of ``frame_tile``.
+    the counter dict of :func:`polar_tpu.ber.make_step_body`. ``batch``
+    must be a multiple of ``frame_tile``.
+
+    ``systematic`` selects the testbench mode: double-transform encode
+    with codeword-domain error counting (``testbench.cc:131-146``), or
+    the plain encoder with u-domain counting against the drawn message
+    (``testbench.cc:147-149`` — the decode carries the full u-domain
+    leaf track instead of the codeword-estimate track).
 
     ``prng``: ``"native"`` (in-kernel TPU PRNG), ``"bits"`` (u32 bits
     streamed in — CPU/interpret-testable), ``"inject"`` (test-only; the
@@ -293,7 +322,7 @@ def make_pallas_step(
 
     if prng == "inject":
         kernel = functools.partial(_step_kernel_inject, tree, frozen_col,
-                                   compute_dtype)
+                                   compute_dtype, systematic)
 
         def step_inject(msg_sym_t, normals_t, snr_db):
             if msg_sym_t.shape != (n, normals_t.shape[1]) or \
@@ -317,7 +346,7 @@ def make_pallas_step(
 
     if prng == "bits":
         kernel = functools.partial(_step_kernel_bits, tree, n, frozen_col,
-                                   compute_dtype)
+                                   compute_dtype, systematic)
 
         def step_bits(key, snr_db, batch: int):
             if batch % frame_tile:
@@ -335,7 +364,7 @@ def make_pallas_step(
         return step_bits
 
     kernel = functools.partial(_step_kernel_native, tree, n, frozen_col,
-                               compute_dtype, frame_tile)
+                               compute_dtype, systematic, frame_tile)
 
     def step_native(key, snr_db, batch: int):
         if batch % frame_tile:
@@ -364,7 +393,8 @@ def _decode_count_kernel(tree, frozen_col, cdtype, llr_ref, cw_ref, out_ref):
     info_col = jnp.float32(1.0) - _const_col(frozen_col)
     # counters compare in int8 (llr/cw/cw_hat are int8-exact values) so
     # no widened copies outlive the decode body
-    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), info_col)
+    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), cw8,
+                     info_col)
 
 
 def make_pallas_decode_count(
@@ -433,16 +463,17 @@ def _front_kernel_native(n, frozen_col, frame_tile, params_ref, seed_ref,
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
     noise_bits = _random_u32((n, frame_tile))
     msg_bits = _random_u32((n, frame_tile))
-    llr, cw, _ = _front(frozen_col, params_ref, _bits_to_sym(msg_bits),
-                        _bits_to_normals(noise_bits))
+    llr, cw, _u0, _ = _front(frozen_col, params_ref, _bits_to_sym(msg_bits),
+                             _bits_to_normals(noise_bits))
     llr_ref[...] = llr.astype(jnp.int8)
     cw_ref[...] = cw.astype(jnp.int8)
 
 
 def _front_kernel_inject(frozen_col, params_ref, msg_ref, normal_ref,
                          llr_ref, cw_ref):
-    llr, cw, _ = _front(frozen_col, params_ref,
-                        msg_ref[...].astype(jnp.float32), normal_ref[...])
+    llr, cw, _u0, _ = _front(frozen_col, params_ref,
+                             msg_ref[...].astype(jnp.float32),
+                             normal_ref[...])
     llr_ref[...] = llr.astype(jnp.int8)
     cw_ref[...] = cw.astype(jnp.int8)
 

@@ -20,17 +20,20 @@ from polar_tpu.ops.pallas.step_kernel import (
     _bits_to_normals, _bits_to_sym, _bits_to_unit, make_pallas_step)
 
 
-def _reference_counters(code, msg_sym_t, normals_t, snr_db):
+def _reference_counters(code, msg_sym_t, normals_t, snr_db,
+                        systematic=True):
     """The XLA-chain counters on identical inputs, matching
     polar_tpu.ber.make_step_body's math (testbench.cc:185-192)."""
     info = code.info_indices
     message = jnp.asarray(msg_sym_t).T[:, info].astype(jnp.int8)
-    codeword = pt.encode_systematic(code, message)
+    enc = pt.encode_systematic if systematic else pt.encode
+    codeword = enc(code, message)
     sigma2 = 0.5 * 10.0 ** (-jnp.float32(snr_db) / 10.0)
     y = codeword.astype(jnp.float32) + jnp.sqrt(sigma2) * jnp.asarray(normals_t).T
     llrs = jnp.clip(jnp.rint((2.0 / sigma2) * y), -128, 127).astype(jnp.int8)
-    decoded = jax.jit(make_fastssc_decoder(code, output="systematic",
-                                           output_dtype=jnp.int8))(llrs)
+    decoded = jax.jit(make_fastssc_decoder(
+        code, output="systematic" if systematic else "u",
+        output_dtype=jnp.int8))(llrs)
     zero_d = decoded == 0
     errs = zero_d | ((decoded < 0) != (message < 0))
     return {
@@ -60,6 +63,45 @@ def test_inject_counters_match_xla_chain_exactly(m, rate, snr_db):
     # the point is a noisy one: counters must actually be non-trivial
     if snr_db < 0:
         assert got["awgn_errors"] > 0
+
+
+@pytest.mark.parametrize("m,rate", [(5, 0.5), (8, 0.5), (7, 0.25)])
+@pytest.mark.parametrize("snr_db", [-2.0, 1.0])
+def test_inject_counters_match_xla_chain_nonsystematic(m, rate, snr_db):
+    """Non-systematic mode: u-domain error counting against the drawn
+    message (testbench.cc:147-149) must match the XLA chain exactly —
+    this pins the kernel's u-domain leaf track (collect_u) end to end."""
+    code = pt.make_code(m, rate=rate)
+    rng = np.random.default_rng(m * 13 + int(snr_db))
+    batch = 256
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, batch))).astype(np.int8))
+    normals_t = jnp.asarray(rng.standard_normal((code.N, batch), np.float32))
+    step = make_pallas_step(code, frame_tile=128, interpret=True,
+                            prng="inject", systematic=False)
+    got = {k: int(v) for k, v in step(msg_t, normals_t, snr_db).items()}
+    ref = _reference_counters(code, msg_t, normals_t, snr_db,
+                              systematic=False)
+    assert got == ref
+    if snr_db < 0:
+        # the noisy point must be non-trivial (a strong code may still
+        # correct every frame — e.g. rate 1/4 at -2 dB — so only the
+        # channel-error counter is guaranteed non-zero)
+        assert got["awgn_errors"] > 0
+
+
+def test_nonsystematic_bits_mode_equals_inject():
+    code = pt.make_code(7, rate=0.5)
+    key = jax.random.PRNGKey(8)
+    batch, snr_db = 256, -1.0
+    bits = jax.random.bits(key, (2 * code.N, batch), jnp.uint32)
+    a = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="bits", systematic=False)(key, snr_db, batch)
+    b = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="inject", systematic=False)(
+        _bits_to_sym(bits[code.N:]), _bits_to_normals(bits[:code.N]), snr_db)
+    assert {k: int(v) for k, v in a.items()} == \
+        {k: int(v) for k, v in b.items()}
 
 
 def test_inject_low_noise_perfect_recovery():
@@ -140,9 +182,9 @@ def test_make_step_fused_auto_stays_xla_on_cpu():
 def test_make_step_fused_rejects_unsupported_modes():
     code = pt.make_code(5, rate=0.5)
     with pytest.raises(ValueError):
-        pt.make_step(code, systematic=False, fused=True)
-    with pytest.raises(ValueError):
         pt.make_step(code, compute="qfloat", fused=True)
+    with pytest.raises(ValueError):
+        pt.make_step(code, dtype=jnp.float32, fused=True)
 
 
 def test_bits_step_statistics_track_xla_step():
