@@ -59,23 +59,42 @@ class _ShardedTreeDecoder:
     """
 
     def __init__(self, ph, axis: str, n_dev: int, shard: int,
-                 batch_split: bool = False):
+                 batch_split: bool = False, comm: str = "ppermute",
+                 comm_interpret: bool = False):
         self.ph = ph
         self.axis = axis
         self.n_dev = n_dev
         self.shard = shard  # S: elements per device
         self.batch_split = batch_split
+        self.comm = comm
+        self.comm_interpret = comm_interpret
         self.d = jax.lax.axis_index(axis)
 
     # -- communication helpers -----------------------------------------
+    # Exchanges are totally ordered by SC data dependencies (each
+    # exchange's input depends on the previous one's output; the two
+    # formerly-independent pairs — spc's parity/min pulls and
+    # rate0_right's hard/u pushes — are stacked into single exchanges),
+    # which is what lets the RDMA transport share one barrier
+    # collective_id across all call sites (see parallel/rdma.py).
     def _pull_from(self, x, offset: int):
         """Every device receives x from the device ``offset`` positions
         ahead (d + offset, wrapping; wrapped lanes are masked by role)."""
+        if self.comm == "rdma":
+            from .rdma import ring_shift
+
+            return ring_shift(x, offset, self.axis,
+                              interpret=self.comm_interpret)
         perm = [(s, (s - offset) % self.n_dev) for s in range(self.n_dev)]
         return jax.lax.ppermute(x, self.axis, perm)
 
     def _push_right(self, x, offset: int):
         """Every device receives x from ``offset`` positions behind."""
+        if self.comm == "rdma":
+            from .rdma import ring_shift
+
+            return ring_shift(x, -offset, self.axis,
+                              interpret=self.comm_interpret)
         perm = [(s, (s + offset) % self.n_dev) for s in range(self.n_dev)]
         return jax.lax.ppermute(x, self.axis, perm)
 
@@ -139,8 +158,13 @@ class _ShardedTreeDecoder:
             weak = jnp.min(sabs, axis=-1, keepdims=True)
             m = n_sh
             while m > 1:
-                par = ph.qmul(par, self._pull_from(par, m // 2))
-                weak = ph.qmin(weak, self._pull_from(weak, m // 2))
+                # one stacked exchange per stage (not two independent
+                # ones): keeps every collective in the program totally
+                # ordered — required by the RDMA transport, free for
+                # ppermute (ppermute of a stack == stacked ppermutes)
+                both = self._pull_from(jnp.stack([par, weak]), m // 2)
+                par = ph.qmul(par, both[0])
+                weak = ph.qmin(weak, both[1])
                 m //= 2
             par = self._bcast_from(par, base)
             weak = self._bcast_from(weak, base)
@@ -153,10 +177,10 @@ class _ShardedTreeDecoder:
             # g with implicit all-(+1) left half: saturating add
             child = ph.qadd(soft, self._pull_from(soft, n2))
             hard_r, u_r = self.decode(node.right, child, base, n2)
-            hard = jnp.where(self._is_in(base, n2),
-                             hard_r, self._push_right(hard_r, n2))
-            u = jnp.where(self._is_in(base, n2),
-                          ones, self._push_right(u_r, n2))
+            # stacked push (ordering contract — see _pull_from)
+            pushed = self._push_right(jnp.stack([hard_r, u_r]), n2)
+            hard = jnp.where(self._is_in(base, n2), hard_r, pushed[0])
+            u = jnp.where(self._is_in(base, n2), ones, pushed[1])
             return hard, u
         if kind == "rate1_comb":
             upper = self._pull_from(soft, n2)
@@ -251,6 +275,7 @@ def make_seqpar_decoder(
     compute=None,
     output: str = "u_full",
     batch_split: bool = False,
+    comm: str = "ppermute",
 ):
     """Element-sharded Fast-SSC decoder: LLRs ``(B, N)`` sharded on the
     element axis over ``mesh[axis]`` → u-domain estimate ``(B, N)`` with
@@ -265,6 +290,12 @@ def make_seqpar_decoder(
     shard-size subtree decode (work-efficient; needs B divisible by the
     shard count) instead of decoding subtrees redundantly on every
     device. Identical results either way.
+
+    ``comm``: cross-shard exchange transport — ``"ppermute"`` (XLA
+    collective, default) or ``"rdma"`` (direct Pallas
+    ``make_async_remote_copy`` per device, :mod:`polar_tpu.parallel.rdma`
+    — ICI RDMA on real pods, interpret-emulated on CPU meshes).
+    Identical results.
     """
     if tree is None:
         tree = compile_code(code)
@@ -277,6 +308,11 @@ def make_seqpar_decoder(
         raise ValueError(f"shard size {shard} < 4 (use fewer devices)")
     if output not in ("u_full", "u"):
         raise ValueError(f"unknown output mode {output!r}")
+    if comm not in ("ppermute", "rdma"):
+        raise ValueError(f"unknown comm transport {comm!r}")
+    # the RDMA kernels need the interpreter on non-TPU backends (CPU
+    # test meshes); on TPU they lower to real ICI remote copies
+    comm_interpret = comm == "rdma" and jax.default_backend() != "tpu"
     info = code.info_indices
 
     def decode(llrs):
@@ -285,7 +321,8 @@ def make_seqpar_decoder(
 
         def body(x_loc):
             dec = _ShardedTreeDecoder(ph, axis, n_dev, shard,
-                                      batch_split=batch_split)
+                                      batch_split=batch_split, comm=comm,
+                                      comm_interpret=comm_interpret)
             _, u = dec.decode(tree, x_loc, 0, n_dev)
             return u
 

@@ -93,6 +93,27 @@ def stage_m13fused():
                       c, frame_tile=t, prng="native"), batch)
 
 
+def stage_nonsys():
+    """Fused-step rates in non-systematic mode (u-domain counting) vs
+    the threefry XLA chain — the plain-encode twin of the sys receipts."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step_body
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+
+    for m, batch, tile in ((10, 32768, 256), (12, 8192, 128)):
+        code = pt.make_code(m, rate=0.5)
+        _steprate(f"m{m}-stepkernel-nonsys-t{tile}",
+                  lambda c=code, t=tile: make_pallas_step(
+                      c, frame_tile=t, prng="native", systematic=False),
+                  batch)
+    code = pt.make_code(10, rate=0.5)
+    _steprate("m10-steprate-nonsys-threefry",
+              lambda: make_step_body(code, systematic=False,
+                                     rng="threefry"), 32768, iters=16)
+
+
 def stage_frontprofile():
     """Where the m14 block-front step goes: chained-slope timings of the
     front alone, front+decode, and the full step (front + decode +
@@ -163,7 +184,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
                     choices=["blockfront", "frontprofile", "countfused",
-                             "m13fused"])
+                             "m13fused", "nonsys"])
     args = ap.parse_args()
     from polar_tpu.utils.cache import enable_compilation_cache
 
@@ -171,7 +192,8 @@ def main():
     {"blockfront": stage_blockfront,
      "frontprofile": stage_frontprofile,
      "countfused": stage_countfused,
-     "m13fused": stage_m13fused}[args.stage]()
+     "m13fused": stage_m13fused,
+     "nonsys": stage_nonsys}[args.stage]()
 
 
 if __name__ == "__main__":

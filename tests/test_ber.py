@@ -96,7 +96,8 @@ def test_campaign_steps_per_call():
 
 def test_fused_step_eligibility_table():
     """run_campaign consults the same predicate make_step's auto dispatch
-    uses — systematic int8, no compute override, whole-code-kernel N."""
+    uses — int8 (systematic OR plain), no compute override,
+    whole-code-kernel N."""
     from polar_tpu.ber import _fused_step_eligible
     import jax.numpy as jnp
 
@@ -104,7 +105,7 @@ def test_fused_step_eligibility_table():
     assert _fused_step_eligible(CODE, True, jnp.int8, None)
     assert _fused_step_eligible(pt.make_code(12, rate=0.5), True,
                                 jnp.int8, None)
-    assert not _fused_step_eligible(CODE, False, jnp.int8, None)
+    assert _fused_step_eligible(CODE, False, jnp.int8, None)  # nonsys mode
     assert not _fused_step_eligible(CODE, True, jnp.float32, None)
     assert not _fused_step_eligible(CODE, True, jnp.int8, "qfloat")
     assert not _fused_step_eligible(big, True, jnp.int8, None)

@@ -103,3 +103,52 @@ def test_seqpar_decode_validates():
     mesh = element_mesh(jax.devices()[:8])
     with pytest.raises(ValueError):
         make_seqpar_decoder(code, mesh)  # shard size 2 < 4
+
+
+def test_ring_shift_matches_roll():
+    """The RDMA ring shift (Pallas make_async_remote_copy, interpret-
+    emulated) must equal np.roll along the shard axis for positive and
+    negative offsets, stacked payloads, and int8/f32 dtypes."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from polar_tpu.parallel.rdma import ring_shift
+
+    mesh = element_mesh(jax.devices()[:8])
+    axis = mesh.axis_names[0]
+    for off, dtype, stacked in [(1, np.int8, False), (-2, np.float32, False),
+                                (4, np.int8, True)]:
+        shape = (2, 8, 4) if stacked else (8, 4)
+        spec = P(None, axis, None) if stacked else P(axis, None)
+        x = jnp.asarray(
+            np.arange(np.prod(shape), dtype=dtype).reshape(shape))
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec)
+        def run(v, off=off):
+            return ring_shift(v, off, axis, interpret=True)
+
+        got = np.asarray(run(x))
+        want = np.roll(np.asarray(x), -off, axis=1 if stacked else 0)
+        np.testing.assert_array_equal(got, want, err_msg=f"off={off}")
+
+
+def test_seqpar_decode_rdma_bitexact_vs_local():
+    """comm="rdma": the cross-shard f/g/comb exchanges run as per-device
+    Pallas remote DMAs instead of ppermute — decode must stay bit-exact
+    vs the local decoder (SURVEY §5 / BACKLOG scale-out: the ICI-RDMA
+    exchange variant, CPU-validated via the Pallas TPU interpreter)."""
+    code = pt.make_code(10, rate=0.5)
+    mesh = element_mesh(jax.devices()[:8])
+    llr = _llrs(code, 16, 77)
+    local = jax.jit(pt.make_fastssc_decoder(code, output_dtype=jnp.int8))
+    rdma = jax.jit(make_seqpar_decoder(code, mesh, output="u", comm="rdma"))
+    np.testing.assert_array_equal(
+        np.asarray(rdma(llr)).astype(np.int8), np.asarray(local(llr)))
+
+
+def test_seqpar_decode_rejects_unknown_comm():
+    code = pt.make_code(8, rate=0.5)
+    mesh = element_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError):
+        make_seqpar_decoder(code, mesh, comm="carrier-pigeon")
