@@ -310,10 +310,9 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
     elif fused:
         if not _fused_step_eligible(code, systematic, dtype, compute):
             raise ValueError(
-                "fused step supports systematic int8 mode at N <= "
-                f"{1 << _FUSED_MAX_LEVEL} only (got N={code.N}, "
-                f"systematic={systematic}, dtype={jnp.dtype(dtype)}, "
-                f"compute={compute!r})")
+                "fused step supports int8 mode (no compute override) at "
+                f"N <= {1 << _FUSED_MAX_LEVEL} only (got N={code.N}, "
+                f"dtype={jnp.dtype(dtype)}, compute={compute!r})")
         use_fused = True
     # second rung of the ladder: when the whole-step kernel doesn't apply
     # (large N, or a caller-pinned decoder), still replace the threefry

@@ -206,20 +206,21 @@ def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
                                    systematic)
     llr8 = llr.astype(jnp.int8)
     cw8 = cw.astype(jnp.int8)
+    # ref8 narrowed BEFORE the decode too, so no f32 front array
+    # survives into the decode body in either mode
+    ref8 = cw8 if systematic else u0.astype(jnp.int8)
     b = _SsaBuilder(None, cdtype, collect_u=not systematic)
     if systematic:
         # decode with the codeword-estimate track only; errors compare
         # cw_hat vs cw at info rows (the message IS those rows)
         hat = b.node(tree, llr8.astype(cdtype), safe=False,
                      need_hard=False, need_cw=True)[1]
-        ref8 = cw8
     else:
         # u-domain leaf estimate vs the drawn u-domain message (frozen
         # rows are +1 on both sides)
         b.node(tree, llr8.astype(cdtype), safe=False,
                need_hard=False, need_cw=False)
         hat = b.u_full()
-        ref8 = u0.astype(jnp.int8)
     _count_and_store(out_ref, llr8, cw8, hat.astype(jnp.int8), ref8,
                      info_col)
 

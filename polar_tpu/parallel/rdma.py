@@ -19,11 +19,15 @@ Correctness notes:
   copy, so no DMA can write a neighbor's buffer before that neighbor
   has entered the kernel (the standard neighbor-barrier pattern).
 * All exchange call sites in one decode program share
-  ``collective_id=0``: SC decoding makes every exchange's input data-
-  dependent on the previous exchange's output, so no two of these
-  collectives are ever in flight concurrently (the sharded decoder
-  stacks the two formerly-independent pulls/pushes to keep this true —
-  see ``seqpar_decode``).
+  ``collective_id=0``, which is only safe if no two of these
+  collectives are ever in flight concurrently. The sharded decoder
+  ENFORCES that: it stacks the two formerly-independent pulls/pushes
+  into single exchanges and threads a scalar token through
+  ``optimization_barrier`` so every RDMA call's input carries a data
+  dependency on the previous call's output
+  (``seqpar_decode._ShardedTreeDecoder._ring``). Callers composing
+  ``ring_shift`` themselves must either serialize the same way or use
+  distinct ``collective_id``s per concurrent collective.
 """
 
 from __future__ import annotations

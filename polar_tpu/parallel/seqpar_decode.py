@@ -69,32 +69,41 @@ class _ShardedTreeDecoder:
         self.comm = comm
         self.comm_interpret = comm_interpret
         self.d = jax.lax.axis_index(axis)
+        self._token = None  # serializes RDMA exchanges (see _ring)
 
     # -- communication helpers -----------------------------------------
-    # Exchanges are totally ordered by SC data dependencies (each
-    # exchange's input depends on the previous one's output; the two
-    # formerly-independent pairs — spc's parity/min pulls and
-    # rate0_right's hard/u pushes — are stacked into single exchanges),
-    # which is what lets the RDMA transport share one barrier
-    # collective_id across all call sites (see parallel/rdma.py).
+    # RDMA exchanges all share ONE barrier collective_id (rdma.py), so
+    # no two of them may ever be in flight concurrently. Most exchanges
+    # are already ordered by SC data dependencies (and the two formerly-
+    # independent pairs — spc's parity/min pulls, rate0_right's hard/u
+    # pushes — are stacked into single exchanges), but not all: a
+    # rate1/spc/rate1_comb node's u-track transform pulls and the
+    # parent's subsequent hard-track exchange both depend only on the
+    # node's hard estimate, so XLA could issue them concurrently. A
+    # scalar token threaded through optimization_barrier makes every
+    # RDMA call's input depend on the previous call's output — strict
+    # serialization, enforced rather than assumed.
+    def _ring(self, x, offset: int):
+        from .rdma import ring_shift
+
+        if self._token is not None:
+            x, _ = jax.lax.optimization_barrier((x, self._token))
+        y = ring_shift(x, offset, self.axis, interpret=self.comm_interpret)
+        self._token = y.reshape(-1)[0]
+        return y
+
     def _pull_from(self, x, offset: int):
         """Every device receives x from the device ``offset`` positions
         ahead (d + offset, wrapping; wrapped lanes are masked by role)."""
         if self.comm == "rdma":
-            from .rdma import ring_shift
-
-            return ring_shift(x, offset, self.axis,
-                              interpret=self.comm_interpret)
+            return self._ring(x, offset)
         perm = [(s, (s - offset) % self.n_dev) for s in range(self.n_dev)]
         return jax.lax.ppermute(x, self.axis, perm)
 
     def _push_right(self, x, offset: int):
         """Every device receives x from ``offset`` positions behind."""
         if self.comm == "rdma":
-            from .rdma import ring_shift
-
-            return ring_shift(x, -offset, self.axis,
-                              interpret=self.comm_interpret)
+            return self._ring(x, -offset)
         perm = [(s, (s + offset) % self.n_dev) for s in range(self.n_dev)]
         return jax.lax.ppermute(x, self.axis, perm)
 

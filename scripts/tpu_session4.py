@@ -96,8 +96,6 @@ def stage_m13fused():
 def stage_nonsys():
     """Fused-step rates in non-systematic mode (u-domain counting) vs
     the threefry XLA chain — the plain-encode twin of the sys receipts."""
-    import jax
-
     import polar_tpu as pt
     from polar_tpu.ber import make_step_body
     from polar_tpu.ops.pallas.step_kernel import make_pallas_step
