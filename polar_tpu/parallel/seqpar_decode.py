@@ -115,6 +115,26 @@ class _ShardedTreeDecoder:
     def _is_in(self, base: int, n_sh: int):
         return (self.d >= base) & (self.d < base + n_sh)
 
+    def _left_then_push(self, soft, n2: int, decode_left):
+        """Decode the left child and push ``(soft, hard_l)`` right by
+        ``n2``; returns ``(hard_l, u_l, soft_pushed, hard_pushed)``.
+
+        ppermute: the ``soft`` push has no data dependency on the left
+        decode, so it is issued as its OWN collective *before* the
+        recursion — XLA's async collective scheduler can then overlap
+        the transfer with the left subtree's compute (the BACKLOG
+        double-buffering item). RDMA keeps the single stacked exchange:
+        its transport requires every exchange totally ordered (see
+        ``_ring``), which forbids the overlap anyway. Identical values
+        either way."""
+        if self.comm == "rdma":
+            hard_l, u_l = decode_left()
+            pushed = self._push_right(jnp.stack([soft, hard_l]), n2)
+            return hard_l, u_l, pushed[0], pushed[1]
+        soft_p = self._push_right(soft, n2)
+        hard_l, u_l = decode_left()
+        return hard_l, u_l, soft_p, self._push_right(hard_l, n2)
+
     # -- distributed polar transform over a shard range ------------------
     def _transform(self, x, base: int, n_sh: int):
         """Value-domain polar transform of the node's hard estimate,
@@ -194,9 +214,9 @@ class _ShardedTreeDecoder:
         if kind == "rate1_comb":
             upper = self._pull_from(soft, n2)
             child = ph.prod(soft, upper)
-            hard_l, u_l = self.decode(node.left, child, base, n2)
-            from_left = self._push_right(jnp.stack([soft, hard_l]), n2)
-            hard_r = ph.signum(ph.madd(from_left[1], from_left[0], soft))
+            hard_l, u_l, soft_p, hard_p = self._left_then_push(
+                soft, n2, lambda: self.decode(node.left, child, base, n2))
+            hard_r = ph.signum(ph.madd(hard_p, soft_p, soft))
             trans_r = self._transform(hard_r, base + n2, n2)
             is_left = self._is_in(base, n2)
             hard = jnp.where(is_left,
@@ -206,9 +226,9 @@ class _ShardedTreeDecoder:
         if kind == "branch":
             upper = self._pull_from(soft, n2)
             child = ph.prod(soft, upper)
-            hard_l, u_l = self.decode(node.left, child, base, n2)
-            from_left = self._push_right(jnp.stack([soft, hard_l]), n2)
-            child_r = ph.madd(from_left[1], from_left[0], soft)
+            hard_l, u_l, soft_p, hard_p = self._left_then_push(
+                soft, n2, lambda: self.decode(node.left, child, base, n2))
+            child_r = ph.madd(hard_p, soft_p, soft)
             hard_r, u_r = self.decode(node.right, child_r, base + n2, n2)
             is_left = self._is_in(base, n2)
             hard = jnp.where(is_left,
