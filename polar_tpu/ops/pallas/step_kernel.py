@@ -637,6 +637,16 @@ def make_pallas_front_blocks(
     form). Outputs ``(llr_t, cw_t)``, both ``(N, B)`` int8 — ready for
     the hybrid decoder's zero-transpose ``lane_major`` entry.
 
+    Kernel B's channel math holds several f32 temporaries per block
+    (PRNG bits, Box-Muller normals, the f32 codeword/LLR), so its block
+    is capped one level below kernel A's by default: at
+    ``chan_block_level=13`` the Mosaic scoped-VMEM allocation is 17.9 MiB
+    against the 16 MiB core limit (measured OOM on v5e); 12 fits with
+    room. Kernel A's ±1 butterfly has one live f32 value and runs fine
+    at 13. Block levels only move stages between the kernels and the XLA
+    middle — results are bit-identical for any split
+    (``tests/test_step_kernel.py::test_front_blocks_inject_matches_whole_front``).
+
     Reference semantics: ``testbench.cc:126-165`` (message, systematic
     encode via ``polar_encoder.hh:38-57``, AWGN, int8 LLR quantize per
     ``polar_helper.hh:194-198``). The ``inject`` mode
@@ -648,7 +658,7 @@ def make_pallas_front_blocks(
     n = code.N
     blk_a = 1 << min(block_level, code.level)
     blk_b = 1 << min(chan_block_level if chan_block_level is not None
-                     else block_level, code.level)
+                     else min(block_level, 12), code.level)
     if frame_tile % 128:
         raise ValueError("frame_tile must be a multiple of 128")
     if prng not in ("native", "inject"):
