@@ -67,7 +67,18 @@ class CampaignResult:
 # front-path configuration (the zero-transpose element-major chain)
 _FRONT_WHOLE_MAX_LEVEL = 13   # make_pallas_front / whole-code SSA ceiling
 _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
-_FRONT_KERNEL_LEVEL = 13      # hybrid decode subtree level (kl13-t128)
+
+
+def _front_decode_cfg(level: int) -> tuple[int, int]:
+    """(kernel_level, kernel_frame_tile) for the front path's hybrid
+    decoder. kl13-t128 is the decode-only champion at every measured m,
+    but at m >= 15 its subtree kernel's scoped-VMEM allocation lands
+    16.23M vs the 16M core limit when compiled inside a fori_loop body
+    (measured OOM receipt, m15-steprate-blockfront) — the runner-up
+    kl12-t256 (-2.5% decode-only) compiles everywhere."""
+    if level >= 15:
+        return min(12, level - 1), 256
+    return min(13, level - 1), 128
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
@@ -107,13 +118,13 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     # front kernel + whole-code SSA decoder; larger codes the block-
     # structured front + hybrid (kl13-t128) lane-major decoder. Only
     # when the caller didn't pin a decoder.
-    use_front = (use_kernel_rng and systematic and not pinned_decoder
+    use_front = (use_kernel_rng and not pinned_decoder
                  and compute is None and 2 <= code.level)
-    front = decode_cw_lane = decode_count = None
+    front = decode_cw_lane = decode_u_lane = decode_count = None
     if use_front:
         from .ops.pallas.step_kernel import _bits_to_normals, _bits_to_sym
         kprng = "inject" if rng == "pallas-bits" else "native"
-        if code.level <= _FRONT_WHOLE_MAX_LEVEL:
+        if systematic and code.level <= _FRONT_WHOLE_MAX_LEVEL:
             from .ops.pallas.step_kernel import (make_pallas_decode_count,
                                                  make_pallas_front)
             front = make_pallas_front(
@@ -127,13 +138,19 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
             front = make_pallas_front_blocks(
                 code, frame_tile=128,
                 block_level=min(_FRONT_BLOCK_LEVEL, code.level - 1),
-                interpret=rng_interpret, prng=kprng)
+                interpret=rng_interpret, prng=kprng, systematic=systematic)
+            kl, ktile = _front_decode_cfg(code.level)
             front_dec = make_fastssc_decoder(
-                code, output="codeword", output_dtype=jnp.int8,
-                kernel_level=min(_FRONT_KERNEL_LEVEL, code.level - 1),
-                kernel_frame_tile=128, kernel_interpret=rng_interpret)
-            decode_cw_lane = front_dec.lane_major
+                code, output="codeword" if systematic else "u",
+                output_dtype=jnp.int8,
+                kernel_level=kl,
+                kernel_frame_tile=ktile, kernel_interpret=rng_interpret)
+            if systematic:
+                decode_cw_lane = front_dec.lane_major
+            else:
+                decode_u_lane = front_dec.lane_major
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
+        info_idx = jnp.asarray(code.info_indices)
     if use_kernel_rng:
         from .ops.pallas.channel_kernel import (make_pallas_awgn,
                                                 make_pallas_symbols,
@@ -171,22 +188,31 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
 
     def step_front(key, snr_db, batch):
         """Element-major end-to-end: front kernel(s) → decode+count
-        kernel (whole-block codes) or lane_major decode + cw-domain XLA
-        counters (block-structured codes). Counter math exactness is
-        pinned by test_step_kernel/test_channel_kernel."""
+        kernel (whole-block systematic codes) or lane_major decode + XLA
+        counters — cw-domain for systematic (the message IS the info
+        rows of the codeword), u-domain for plain codes (decoded leaf
+        estimate vs the drawn u0, ``testbench.cc:185-192``). Counter
+        math exactness is pinned by test_step_kernel/test_channel_kernel."""
         kmsg, knoise = jax.random.split(key)
         if rng == "pallas-bits":
             nb = jax.random.bits(knoise, (code.N, batch), jnp.uint32)
             mb = jax.random.bits(kmsg, (code.N, batch), jnp.uint32)
-            llr_t, cw_t = front(_bits_to_sym(mb), _bits_to_normals(nb),
-                                snr_db)
+            outs = front(_bits_to_sym(mb), _bits_to_normals(nb), snr_db)
         else:
-            llr_t, cw_t = front(key, snr_db, batch)
+            outs = front(key, snr_db, batch)
         if decode_count is not None:
-            return decode_count(llr_t, cw_t)
-        cw_hat_t = decode_cw_lane(llr_t)
-        zero_d = (cw_hat_t == 0) & info_rows
-        err = (cw_hat_t != cw_t) & info_rows
+            return decode_count(*outs)
+        if systematic:
+            llr_t, cw_t = outs
+            hat = decode_cw_lane(llr_t)             # (N, B) cw estimate
+            zero_d = (hat == 0) & info_rows
+            err = (hat != cw_t) & info_rows
+        else:
+            llr_t, cw_t, u0_t = outs
+            hat = decode_u_lane(llr_t)              # (K, B) u estimate
+            msg = u0_t[info_idx, :]
+            zero_d = hat == 0
+            err = zero_d | ((hat < 0) != (msg < 0))
         awgn = (llr_t != 0) & ((llr_t < 0) != (cw_t < 0))
         return {
             "uncorrected_errors": jnp.sum(err, dtype=jnp.int32),

@@ -584,6 +584,31 @@ def _msg_block_kernel_inject(mask_col, msg_ref, o_ref):
     o_ref[...] = _transform_value(sym).astype(jnp.int8)
 
 
+def _msg_u0_kernel_native(mask_col, seed_ref, base_ref, o_ref):
+    """Non-systematic kernel A: draw ±1 u-domain symbols and pin frozen
+    rows to +1 — NO butterfly (the single plain transform is split
+    between the XLA middle's top stages and kernel B's bottom stages,
+    which commute), so the block output IS ``u0``, the non-systematic
+    error reference (``testbench.cc:147-149``)."""
+    pid = pl.program_id(0)
+    pltpu.prng_seed(
+        seed_ref[0],
+        seed_ref[1] ^ ((base_ref[0] + pid) * jnp.int32(_GOLDEN)))
+    sym = _bits_to_sym(_random_u32(o_ref.shape))
+    if mask_col is not None:
+        frz = _const_col(mask_col)
+        sym = frz + (jnp.float32(1.0) - frz) * sym
+    o_ref[...] = sym.astype(jnp.int8)
+
+
+def _msg_u0_kernel_inject(mask_col, msg_ref, o_ref):
+    sym = msg_ref[...].astype(jnp.float32)
+    if mask_col is not None:
+        frz = _const_col(mask_col)
+        sym = frz + (jnp.float32(1.0) - frz) * sym
+    o_ref[...] = sym.astype(jnp.int8)
+
+
 def _chan_block_body(params_ref, y_ref, llr_ref, cw_ref, normals):
     cw = _transform_value(y_ref[...].astype(jnp.float32))
     y = cw + params_ref[0] * normals
@@ -611,6 +636,7 @@ def make_pallas_front_blocks(
     chan_block_level: int | None = None,
     interpret: bool = False,
     prng: str = "native",
+    systematic: bool = True,
 ):
     """Large-N Monte-Carlo front: :func:`make_pallas_front`'s chain as
     block-local kernels around a thin element-major XLA middle.
@@ -652,6 +678,15 @@ def make_pallas_front_blocks(
     ``polar_helper.hh:194-198``). The ``inject`` mode
     (``front(msg_sym_t, normals_t, snr_db)``) is bit-exact with
     :func:`make_pallas_front`'s inject mode on identical inputs.
+
+    ``systematic=False`` runs the plain single-transform chain
+    (``polar_encoder.hh:9-28``, ``testbench.cc:147-149``) and returns
+    ``(llr_t, cw_t, u0_t)`` — ``u0_t`` is the frozen-pinned u-domain
+    message, the non-systematic error reference. Kernel A then applies
+    NO butterfly (it just draws/pins symbols, so its output IS ``u0``
+    and the intermediate costs nothing extra); the XLA middle applies
+    the transform's top stages and kernel B its bottom stages — the
+    commuting split covers the whole single transform.
     """
     from ..transform import polar_transform_stages
 
@@ -678,9 +713,13 @@ def make_pallas_front_blocks(
         else:
             key_, mask_col = ("allinfo",), None
         if key_ not in a_kernels:
-            a_kernels[key_] = functools.partial(
-                _msg_block_kernel_inject if inject
-                else _msg_block_kernel_native, mask_col)
+            if systematic:
+                kern = _msg_block_kernel_inject if inject \
+                    else _msg_block_kernel_native
+            else:
+                kern = _msg_u0_kernel_inject if inject \
+                    else _msg_u0_kernel_native
+            a_kernels[key_] = functools.partial(kern, mask_col)
         return a_kernels[key_]
 
     nblk_a = n // blk_a
@@ -702,13 +741,16 @@ def make_pallas_front_blocks(
         )(*ins)
 
     def middle(x):
-        """Top butterfly stages + refreeze, element-major int8 (values
-        are ±1, products exact). ``P_top ∘ refreeze ∘ P_top`` — kernel A
-        supplied the first transform's bottom stages; kernel B applies
-        the second's (stage order commutes)."""
-        if blk_a < n:
-            x = polar_transform_stages(x, blk_a, n, axis=0)
-        x = jnp.where(frozen_col, jnp.int8(1), x)
+        """Top butterfly stages (+ refreeze when systematic), element-
+        major int8 (values are ±1, products exact). Systematic:
+        ``P_top ∘ refreeze ∘ P_top`` — kernel A supplied the first
+        transform's bottom stages; kernel B applies the second's (stage
+        order commutes). Plain: ``P_top`` of the single transform
+        (kernel A applied nothing; kernel B does the bottom stages)."""
+        if systematic:
+            if blk_a < n:
+                x = polar_transform_stages(x, blk_a, n, axis=0)
+            x = jnp.where(frozen_col, jnp.int8(1), x)
         if blk_b < n:
             x = polar_transform_stages(x, blk_b, n, axis=0)
         return x
@@ -756,11 +798,12 @@ def make_pallas_front_blocks(
                             [spec], batch)
                 for b, fn in enumerate(a_fns)
             ]
-            y = middle(jnp.concatenate(blocks, axis=0)
-                       if len(blocks) > 1 else blocks[0])
-            return b_call(
-                [_snr_params(snr_db), y, normals_t],
+            u0 = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+                else blocks[0]
+            llr_cw = b_call(
+                [_snr_params(snr_db), middle(u0), normals_t],
                 [params_spec, b_blk(), b_blk()], batch)
+            return llr_cw if systematic else (*llr_cw, u0)
 
         return front_inject
 
@@ -775,10 +818,11 @@ def make_pallas_front_blocks(
                         [smem, smem], batch)
             for b, fn in enumerate(a_fns)
         ]
-        y = middle(jnp.concatenate(blocks, axis=0)
-                   if len(blocks) > 1 else blocks[0])
-        return b_call(
-            [_snr_params(snr_db), _key_seeds(knoise), y],
+        u0 = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+            else blocks[0]
+        llr_cw = b_call(
+            [_snr_params(snr_db), _key_seeds(knoise), middle(u0)],
             [params_spec, smem, b_blk()], batch)
+        return llr_cw if systematic else (*llr_cw, u0)
 
     return front

@@ -110,6 +110,15 @@ def stage_nonsys():
     _steprate("m10-steprate-nonsys-threefry",
               lambda: make_step_body(code, systematic=False,
                                      rng="threefry"), 32768, iters=16)
+    # large-N nonsys: block front (u0 track) + u-domain lane_major decode
+    for m, batch in ((13, 4096), (14, 2048)):
+        code = pt.make_code(m, rate=0.5)
+        _steprate(f"m{m}-steprate-nonsys-blockfront",
+                  lambda c=code: make_step_body(c, systematic=False,
+                                                rng="pallas"), batch)
+        _steprate(f"m{m}-steprate-nonsys-threefry",
+                  lambda c=code: make_step_body(c, systematic=False,
+                                                rng="threefry"), batch)
 
 
 def stage_frontprofile():

@@ -340,3 +340,56 @@ def test_block_front_step_matches_whole_front_step(monkeypatch):
     # odd batches fall back to the XLA chain (lazy decoder build)
     out = blockb(jax.random.PRNGKey(2), 14.0, 100)
     assert int(out["uncorrected_errors"]) == 0
+
+
+@pytest.mark.parametrize("bl,cbl", [(5, 5), (6, 4)])
+def test_front_blocks_nonsys_inject_exact(bl, cbl):
+    """Non-systematic block front: (llr_t, cw_t, u0_t) must match the
+    plain single-transform chain computed directly (same f32 op order:
+    cw + sigma*normals, clip(rint(scale*y))), and u0_t must be the
+    frozen-pinned injected symbols."""
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+    from polar_tpu.ops.transform import polar_transform
+
+    code = pt.make_code(9, rate=0.5)
+    rng = np.random.default_rng(11)
+    batch, snr = 256, -0.5
+    msg_t = jnp.asarray(
+        (1 - 2 * rng.integers(0, 2, (code.N, batch))).astype(np.int8))
+    nrm_t = jnp.asarray(rng.standard_normal((code.N, batch), np.float32))
+    front = make_pallas_front_blocks(
+        code, frame_tile=128, block_level=bl, chan_block_level=cbl,
+        interpret=True, prng="inject", systematic=False)
+    llr_t, cw_t, u0_t = front(msg_t, nrm_t, snr)
+
+    frozen_col = jnp.asarray(code.frozen != 0).reshape(code.N, 1)
+    u0 = jnp.where(frozen_col, jnp.int8(1), msg_t)
+    cw = polar_transform(u0, axis=0)
+    sigma2 = 0.5 * 10.0 ** (-jnp.float32(snr) / 10.0)
+    y = cw.astype(jnp.float32) + jnp.sqrt(sigma2) * nrm_t
+    llr = jnp.clip(jnp.rint((2.0 / sigma2) * y), -128, 127)
+    assert np.array_equal(np.asarray(u0_t), np.asarray(u0))
+    assert np.array_equal(np.asarray(cw_t), np.asarray(cw, np.int8))
+    assert np.array_equal(np.asarray(llr_t), np.asarray(llr, np.int8))
+
+
+def test_block_front_step_nonsys_counters_match_xla_chain():
+    """make_step_body's non-systematic front branch (block front + u
+    lane_major decode + u-domain counters) must count exactly like the
+    XLA reference chain on the same bit streams."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(9, rate=0.5)
+    body = ber.make_step_body(code, systematic=False, rng="pallas-bits",
+                              rng_interpret=True)
+    batch = 256
+    for k, snr in [(0, 14.0), (3, -1.0), (4, 1.5)]:
+        key = jax.random.PRNGKey(k)
+        got = {n: int(v) for n, v in body(key, snr, batch).items()}
+        kmsg, knoise = jax.random.split(key)
+        nb = jax.random.bits(knoise, (code.N, batch), jnp.uint32)
+        mb = jax.random.bits(kmsg, (code.N, batch), jnp.uint32)
+        want = _reference_counters(code, _bits_to_sym(mb),
+                                   _bits_to_normals(nb), snr,
+                                   systematic=False)
+        assert got == want, (snr, got, want)
