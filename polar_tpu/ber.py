@@ -71,13 +71,12 @@ _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
 
 def _front_decode_cfg(level: int) -> tuple[int, int]:
     """(kernel_level, kernel_frame_tile) for the front path's hybrid
-    decoder. kl13-t128 is the decode-only champion at every measured m,
-    but at m >= 15 its subtree kernel's scoped-VMEM allocation lands
-    16.23M vs the 16M core limit when compiled inside a fori_loop body
-    (measured OOM receipt, m15-steprate-blockfront) — the runner-up
-    kl12-t256 (-2.5% decode-only) compiles everywhere."""
-    if level >= 15:
-        return min(12, level - 1), 256
+    decoder: kl13-t128, the decode-only champion at every measured m.
+    History: with the kernels' (now-elided) dead u output this config
+    OOM'd scoped VMEM at m >= 15 inside fori_loop bodies (16.23M vs the
+    16M core limit); dropping the u stores for codeword-output kernels
+    (``emit_u=False``) brought it back under — measured working receipt
+    ``m15-steprate-blockfront-kl13-nou``."""
     return min(13, level - 1), 128
 
 

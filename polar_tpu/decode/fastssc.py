@@ -68,9 +68,13 @@ class _TreeDecoder:
     """
 
     def __init__(self, ph, subtree_kernel_for=None, want_cw=False,
-                 axis: int = -1):
+                 axis: int = -1, kernel_emits_u: bool = True):
         self.ph = ph
         self.subtree_kernel_for = subtree_kernel_for
+        # kernel_emits_u: whether subtree kernels return a leading u
+        # output (False when the output mode never reads the message —
+        # the kernels then skip the dead u stores entirely)
+        self.kernel_emits_u = kernel_emits_u
         self.mesg: list = []
         # want_cw: carry the re-encoded codeword-estimate track through
         # the recursion (cw = transform(scatter(u_segment)), frozen → +1
@@ -149,9 +153,13 @@ class _TreeDecoder:
             kernel = self.subtree_kernel_for(node)
             if kernel is not None:
                 outs = kernel(soft)
-                self.mesg.append(outs[0].astype(soft.dtype))
-                hard = outs[1].astype(soft.dtype)
-                return hard, (outs[2].astype(soft.dtype) if cw else None)
+                base = 0
+                if self.kernel_emits_u:
+                    self.mesg.append(outs[0].astype(soft.dtype))
+                    base = 1
+                hard = outs[base].astype(soft.dtype)
+                return hard, (outs[base + 1].astype(soft.dtype)
+                              if cw else None)
         if kind == "rate0":
             ones = jnp.ones_like(soft)
             return ones, (ones if cw else None)
@@ -277,6 +285,9 @@ def make_fastssc_decoder(
     # upper XLA levels combine them node-wise. Bit-exact either way.
     use_fused_cw = output != "u" and kernel_level is not None \
         and kernel_style == "ssa"
+    # with the fused cw track, "systematic"/"codeword" outputs never read
+    # the message blocks — the kernels skip the dead u stores
+    kernel_emit_u = not use_fused_cw or output == "both"
     if kernel_level is not None:
         import jax.numpy as _jnp
 
@@ -308,6 +319,7 @@ def make_fastssc_decoder(
                         interpret=kernel_interpret,
                         style=kernel_style,
                         emit_cw=use_fused_cw,
+                        emit_u=kernel_emit_u,
                         layout=layout,
                     ))
                 return cache[key]
@@ -332,10 +344,13 @@ def make_fastssc_decoder(
                 llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         ph, work_dtype = _resolve_arith(compute, llrs.dtype)
         x = llrs if work_dtype is None else llrs.astype(work_dtype)
-        dec = _TreeDecoder(ph, kernel_for["frame"], want_cw=use_fused_cw)
+        dec = _TreeDecoder(ph, kernel_for["frame"], want_cw=use_fused_cw,
+                           kernel_emits_u=kernel_emit_u)
         _, cw = dec.decode(tree, x)
-        u = jnp.concatenate(dec.mesg, axis=-1)
-        out_dtype = output_dtype or u.dtype
+        # without kernel u outputs, dec.mesg only holds the (dead) blocks
+        # of XLA-level leaves — the full u is not assemblable (nor needed)
+        u = jnp.concatenate(dec.mesg, axis=-1) if kernel_emit_u else None
+        out_dtype = output_dtype or (u if u is not None else cw).dtype
 
         def cast(a):
             a = a.astype(out_dtype) if a.dtype != out_dtype else a
@@ -369,10 +384,10 @@ def make_fastssc_decoder(
         ph, work_dtype = _resolve_arith(compute, llr_t.dtype)
         x = llr_t if work_dtype is None else llr_t.astype(work_dtype)
         dec = _TreeDecoder(ph, kernel_for["lane"], want_cw=use_fused_cw,
-                           axis=0)
+                           axis=0, kernel_emits_u=kernel_emit_u)
         _, cw = dec.decode(tree, x)
-        u = jnp.concatenate(dec.mesg, axis=0)
-        out_dtype = output_dtype or u.dtype
+        u = jnp.concatenate(dec.mesg, axis=0) if kernel_emit_u else None
+        out_dtype = output_dtype or (u if u is not None else cw).dtype
 
         def cast(a):
             a = a.astype(out_dtype) if a.dtype != out_dtype else a

@@ -443,6 +443,21 @@ def _ssa_subtree_kernel_cw(tree: Node, compute_dtype, llr_ref, mesg_ref,
     cw_ref[...] = cw.astype(cw_ref.dtype)
 
 
+def _ssa_subtree_kernel_cw_nou(tree: Node, compute_dtype, llr_ref,
+                               hard_ref, cw_ref):
+    """``_ssa_subtree_kernel_cw`` without the u output: for
+    ``output="systematic"``/``"codeword"`` hybrid decodes the message
+    blocks are dead — skipping their stores drops the (k, tile) VMEM
+    output block and the (k, B) HBM write (the margin that OOM'd the
+    m15 front's kl13-t128/kl12-t256 subtree kernels inside fori_loop
+    bodies: 16.23M/16.11M scoped vs the 16M limit)."""
+    b = _SsaBuilder(None, compute_dtype)
+    hard, cw = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                      need_hard=True, need_cw=True)
+    hard_ref[...] = hard.astype(hard_ref.dtype)
+    cw_ref[...] = cw.astype(cw_ref.dtype)
+
+
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
@@ -472,6 +487,7 @@ def make_subtree_decoder(
     interpret: bool = False,
     style: str = "ssa",
     emit_cw: bool = False,
+    emit_u: bool = True,
     layout: str = "frame",
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
@@ -492,6 +508,10 @@ def make_subtree_decoder(
     of re-encoding the full u vector (``testbench.cc:177-183``
     semantics, bit-exact).
 
+    ``emit_u=False`` (SSA + emit_cw only): drop the u output →
+    ``(hard, cw)``; used when the caller's output mode never reads the
+    message blocks (``"systematic"``/``"codeword"``).
+
     ``layout``: ``"frame"`` (default) takes/returns frame-major
     ``(B, len)`` arrays (two transposes around the kernel's native
     element-major tiles); ``"lane"`` takes/returns element-major
@@ -502,8 +522,14 @@ def make_subtree_decoder(
     k = tree.mesg_bits
     if k < 1:
         raise ValueError("kernelize only nodes that emit message bits")
+    if not emit_u and not (style == "ssa" and emit_cw):
+        raise ValueError("emit_u=False requires the SSA style with emit_cw")
     if style == "ssa":
-        body = _ssa_subtree_kernel_cw if emit_cw else _ssa_subtree_kernel
+        if emit_cw:
+            body = _ssa_subtree_kernel_cw if emit_u \
+                else _ssa_subtree_kernel_cw_nou
+        else:
+            body = _ssa_subtree_kernel
         kernel = functools.partial(body, tree, compute_dtype)
         scratch_shapes = []
     elif style == "scratch":
@@ -517,8 +543,7 @@ def make_subtree_decoder(
     else:
         raise ValueError(f"unknown kernel style {style!r}")
 
-    n_out = 3 if emit_cw else 2
-    out_rows = (k, n, n)[:n_out]
+    out_rows = ((k,) if emit_u else ()) + (n, n)[:1 + bool(emit_cw)]
 
     def call(soft_t):  # (len, B) element-major
         bt = frame_tile
