@@ -134,7 +134,7 @@ def _const_col(col: np.ndarray):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
 
 
-def _count_and_store(out_ref, llr, cw, hat, ref, info_col):
+def _count_and_store(out_ref, llr, cw, hat, ref, info_col, wide=False):
     """The testbench counters (``testbench.cc:185-192``) over one tile,
     in the bool domain (message/codeword in ±1, decoded in {-1,0,+1};
     the arrays may be int8 or f32 — only comparisons touch them, so the
@@ -155,6 +155,14 @@ def _count_and_store(out_ref, llr, cw, hat, ref, info_col):
     sub-(8,128) output blocks); each grid step writes its own row.
     """
     one = jnp.float32(1.0)
+    if wide:
+        # non-systematic kernels: with the u-track's odd-row concats in
+        # the program, Mosaic's layout assignment rejects the int8
+        # comparisons here ("Target does not support this comparison",
+        # pointing at ``llr == 0``) — the same compares in f32 lower
+        # fine, and counts are dtype-independent (values in {-128..127})
+        llr = llr.astype(jnp.float32)
+        cw = cw.astype(jnp.float32)
     zero_d = (hat == 0).astype(jnp.float32)
     # ref ∈ ±1, so hat==0 ⟹ hat≠ref: mismatch alone covers both arms
     err = (hat != ref).astype(jnp.float32) * info_col
@@ -215,14 +223,22 @@ def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
         # cw_hat vs cw at info rows (the message IS those rows)
         hat = b.node(tree, llr8.astype(cdtype), safe=False,
                      need_hard=False, need_cw=True)[1]
+        hat_c, ref_c = hat.astype(jnp.int8), ref8
     else:
         # u-domain leaf estimate vs the drawn u-domain message (frozen
-        # rows are +1 on both sides)
+        # rows are +1 on both sides). hat stays in the compute dtype:
+        # u_full() concatenates odd-sized row blocks (1-row frozen
+        # pieces), and Mosaic rejects int8 comparisons on that layout
+        # ("Target does not support this comparison" — minimal-kernel
+        # bisect: int8 cmp on odd concat fails, f32 cmp works). hat is
+        # produced AFTER the decode body, so skipping its narrowing
+        # costs no decode-time VMEM; ref promotes at the compare.
         b.node(tree, llr8.astype(cdtype), safe=False,
                need_hard=False, need_cw=False)
-        hat = b.u_full()
-    _count_and_store(out_ref, llr8, cw8, hat.astype(jnp.int8), ref8,
-                     info_col)
+        hat_c = b.u_full()
+        ref_c = ref8.astype(hat_c.dtype)
+    _count_and_store(out_ref, llr8, cw8, hat_c, ref_c, info_col,
+                     wide=not systematic)
 
 
 def _step_kernel_bits(tree, n, frozen_col, cdtype, systematic, params_ref,
