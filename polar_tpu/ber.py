@@ -64,8 +64,13 @@ class CampaignResult:
         )
 
 
-# front-path configuration (the zero-transpose element-major chain)
-_FRONT_WHOLE_MAX_LEVEL = 13   # make_pallas_front / whole-code SSA ceiling
+# front-path configuration (the zero-transpose element-major chain).
+# The whole-block front tops out at m=12: at m13-t128 its kernel's
+# scoped-VMEM allocation is 20.1M vs the 16M core limit in some program
+# contexts (OOM receipt m13-steprate-front-countfused) — and the block
+# front is FASTER there anyway (1.476M vs 1.165M steps/s, receipt
+# m13-steprate-sys-blockfront), so m >= 13 always takes the block path.
+_FRONT_WHOLE_MAX_LEVEL = 12   # make_pallas_front / whole-code SSA ceiling
 _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
 
 
