@@ -328,6 +328,16 @@ def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
             and 2 <= code.level <= _FUSED_MAX_LEVEL)
 
 
+def _front_step_eligible(code, dtype, compute) -> bool:
+    """Whether the zero-transpose kernel front covers this configuration:
+    int8, any N, BOTH encode modes — the non-systematic block front was
+    measured FASTER than the systematic one (single transform, u-domain
+    counters; receipts ``m13/m14-steprate-nonsys-blockfront``:
+    1.782M / 831.9K steps/s vs 619.2K / 295.0K for the threefry chain)."""
+    return (compute is None and jnp.dtype(dtype) == jnp.int8
+            and 2 <= code.level)
+
+
 def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
                         fused_frame_tile):
     if fused_frame_tile is None:
@@ -549,8 +559,7 @@ def run_campaign(
                   and _fused_step_eligible(code, systematic, dtype, compute)
                   and on_tpu)
     front_step = (fused == "auto" and decoder is None and on_tpu
-                  and systematic and compute is None
-                  and jnp.dtype(dtype) == jnp.int8 and 2 <= code.level)
+                  and _front_step_eligible(code, dtype, compute))
     kernel_step = fused_step or front_step
     if decoder is None and (measure_throughput or not kernel_step):
         # build the decoder ONCE and share it between the Monte-Carlo step

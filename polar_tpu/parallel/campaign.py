@@ -112,13 +112,16 @@ def measure_sharded_decode_fps(code, mesh: Mesh | None = None, *,
     control flow is lead-host-synchronized (see
     :func:`polar_tpu.utils.benchmark.measure_decode_fps`), so every host
     returns the same figure."""
-    from ..decode.fastssc import make_fastssc_decoder
+    from ..decode.auto import make_auto_decoder
     from ..utils.benchmark import measure_decode_fps
 
     if mesh is None:
         mesh = frame_mesh(axis=axis)
     if decoder is None:
-        decoder = make_fastssc_decoder(code, output_dtype=dtype)
+        # the champion decoder for the current backend (Pallas/hybrid on
+        # TPU meshes, XLA elsewhere) — a plain XLA decoder here would
+        # underreport a real TPU mesh by the full kernel speedup (~18x)
+        decoder, _ = make_auto_decoder(code, output_dtype=dtype)
     llrs = global_llr_batch(code, mesh, axis=axis,
                             per_device_batch=per_device_batch, seed=seed)
     return measure_decode_fps(decoder, llrs, n_devices=mesh.devices.size, **kw)
