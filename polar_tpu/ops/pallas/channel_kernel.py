@@ -37,23 +37,24 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .step_kernel import (_bits_to_unit, _key_seeds, _random_u32,
-                          _seed_grid_stream)
+                          _seed_grid_stream, _sincos_2pi)
 
 
 def _normals(shape, bits=None):
-    """Standard normals: cosine Box-Muller over two uniform draws."""
+    """Standard normals: cosine Box-Muller over two uniform draws (the
+    cosine from the quadrant-reduced polynomial — Mosaic's builtin trig
+    costs ~26 VPU ops, see :func:`.step_kernel._sincos_2pi`)."""
     if bits is None:
         u1 = _bits_to_unit(_random_u32(shape))
         u2 = _bits_to_unit(_random_u32(shape))
     else:
         u1, u2 = _bits_to_unit(bits[0]), _bits_to_unit(bits[1])
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-    return r * jnp.cos(jnp.float32(2.0 * np.pi) * u2)
+    return r * _sincos_2pi(u2)[0]
 
 
 def _awgn_body(params_ref, cw_ref, out_ref, bits=None):

@@ -82,6 +82,40 @@ def _bits_to_unit(b):
     return (x + 0.5) * jnp.float32(1.0 / (1 << 24))
 
 
+def _sincos_2pi(u):
+    """``(cos(2πu), sin(2πu))`` for ``u ∈ (0, 1)`` — quadrant-reduced
+    Taylor polynomials computing BOTH outputs in ~23 VPU ops total.
+
+    Mosaic lowers ``jnp.cos``/``jnp.sin`` to a ~26-op generic
+    range-reduction pull sequence EACH (mathprobe receipts,
+    ``results/throughput_receipts_r3.txt`` — vs log ≈ free and
+    sqrt ≈ 1.3 ops), which made one builtin trig ~75% of the channel
+    kernel's math. The argument here is bounded by construction, so a
+    nearest-quadrant reduction ``φ = (4u − rint(4u))·π/2 ∈ [−π/4, π/4]``
+    plus degree-8/9 Taylor polynomials (remainder < 3e-8, inside builtin
+    f32 accuracy) replaces both calls. Accuracy vs the builtins is
+    pinned by ``tests/test_step_kernel.py::test_sincos_2pi_accuracy``.
+    """
+    f32 = jnp.float32
+    t = f32(4.0) * u
+    k = jnp.rint(t)
+    phi = (t - k) * f32(np.pi / 2.0)          # in [-π/4, π/4]
+    x2 = phi * phi
+    # Taylor about 0: cos deg 8 (rem ~2.5e-8 at π/4), sin deg 9 (~2e-9)
+    c = f32(1.0) + x2 * (f32(-1 / 2) + x2 * (
+        f32(1 / 24) + x2 * (f32(-1 / 720) + x2 * f32(1 / 40320))))
+    s = phi * (f32(1.0) + x2 * (f32(-1 / 6) + x2 * (
+        f32(1 / 120) + x2 * (f32(-1 / 5040) + x2 * f32(1 / 362880)))))
+    ki = k.astype(jnp.int32)
+    swap = (ki & 1) == 1
+    # cos(φ+kπ/2): k%4 → c, -s, -c, s ; sin(φ+kπ/2): k%4 → s, c, -s, -c
+    sign_c = (jnp.int32(1) - ((ki + 1) & 2)).astype(f32)
+    sign_s = (jnp.int32(1) - (ki & 2)).astype(f32)
+    cos_out = sign_c * jnp.where(swap, s, c)
+    sin_out = sign_s * jnp.where(swap, c, s)
+    return cos_out, sin_out
+
+
 def _bits_to_normals(b):
     """(2h, BT) u32 bits → (2h, BT) standard normals via Box-Muller.
 
@@ -93,8 +127,8 @@ def _bits_to_normals(b):
     u1 = _bits_to_unit(b[:h])
     u2 = _bits_to_unit(b[h:])
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-    theta = jnp.float32(2.0 * np.pi) * u2
-    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
+    c, s = _sincos_2pi(u2)
+    return jnp.concatenate([r * c, r * s], axis=0)
 
 
 def _bits_to_sym(b):
@@ -823,9 +857,9 @@ def make_pallas_front_blocks(
 
         return front_inject
 
-    def front(key, snr_db, batch: int):
-        _check_batch(batch)
-        kmsg, knoise = jax.random.split(key)
+    def draw_u0(kmsg, batch: int):
+        """Kernel-A half: per-row-block message draw (+ bottom butterfly
+        when systematic), concatenated to the full (N, B) int8 block."""
         seeds_a = _key_seeds(kmsg)
         ntiles = batch // frame_tile
         blocks = [
@@ -834,11 +868,23 @@ def make_pallas_front_blocks(
                         [smem, smem], batch)
             for b, fn in enumerate(a_fns)
         ]
-        u0 = jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
+        return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 \
             else blocks[0]
-        llr_cw = b_call(
-            [_snr_params(snr_db), _key_seeds(knoise), middle(u0)],
-            [params_spec, smem, b_blk()], batch)
+
+    def channel(knoise, x, snr_db):
+        """Kernel-B half: bottom butterfly + AWGN + quantize on the
+        middle's output."""
+        return b_call([_snr_params(snr_db), _key_seeds(knoise), x],
+                      [params_spec, smem, b_blk()], x.shape[1])
+
+    def front(key, snr_db, batch: int):
+        _check_batch(batch)
+        kmsg, knoise = jax.random.split(key)
+        u0 = draw_u0(kmsg, batch)
+        llr_cw = channel(knoise, middle(u0), snr_db)
         return llr_cw if systematic else (*llr_cw, u0)
 
+    # the parts exposed for profiling/ablation (scripts/sweep.py): the
+    # composed front is exactly channel(middle(draw_u0(...)))
+    front.draw_u0, front.middle, front.channel = draw_u0, middle, channel
     return front

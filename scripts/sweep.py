@@ -1,0 +1,440 @@
+#!/usr/bin/env python
+"""Consolidated TPU measurement / receipts CLI (round 3+).
+
+Supersedes the round-2 one-off session scripts (tpu_session{2,3,4}.py,
+sweep_r2.py, sweep_r2c.py — deleted; their receipts live on in
+results/throughput_receipts{,_r2}.txt). One process per invocation,
+run serially — a single python process holds the TPU grant.
+
+Receipts append to results/throughput_receipts_r3.txt as JSON lines.
+
+  python scripts/sweep.py --stage frontprofile   # block-front part timings
+  python scripts/sweep.py --stage prngrate       # hardware-PRNG draw rate
+  python scripts/sweep.py --list                 # all stages
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RECEIPTS = Path(__file__).resolve().parent.parent / "results" / \
+    "throughput_receipts_r3.txt"
+
+
+def log(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    with open(RECEIPTS, "a") as f:
+        f.write(line + "\n")
+
+
+def guard(name, fn):
+    """Run one measurement, recording failures as receipts (compile
+    wedges / VMEM OOMs are per-config tolerated, the sweep continues)."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — record and continue
+        log({"cfg": name, "error": f"{type(e).__name__}: {e}",
+             "trace": traceback.format_exc()[-600:], "ts": time.time()})
+        return None
+
+
+def llr_batch(code, batch, seed=42):
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.integers(-128, 128, (batch, code.N)).astype(np.int8))
+
+
+def measure(name, mk_decoder, llrs, iters=64, **kw):
+    """Decode-only frames/s via the hardened chained-slope meter."""
+    from polar_tpu.utils.benchmark import measure_decode_fps
+
+    def run():
+        t0 = time.perf_counter()
+        dec = mk_decoder()
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fps = measure_decode_fps(dec, llrs, iters=iters, **kw)
+        log({"cfg": name, "batch": int(llrs.shape[0]),
+             "n": int(llrs.shape[1]), "fps": round(fps, 1),
+             "build_s": round(time.perf_counter() - t0 + t_build, 1),
+             "ts": time.time()})
+        return fps
+
+    return guard(name, run)
+
+
+def measure_keyed(name, fn, batch, iters=32, extra=None, **kw):
+    """Rate of an arbitrary keyed device function ``fn(key) -> pytree``:
+    iterations chained through the PRNG key split inside one jitted
+    fori_loop, all outputs folded into the pulled checksum (nothing
+    elidable), hardened slope acceptance. Reports frames/s given the
+    per-call ``batch``."""
+    import jax
+    import jax.numpy as jnp
+
+    from polar_tpu.utils.benchmark import _slope_seconds_per_iter
+
+    def run():
+        def runner(k0, it):
+            def body(_, carry):
+                k, acc = carry
+                k, sub = jax.random.split(k)
+                out = fn(sub)
+                s = sum(jnp.sum(v.astype(jnp.int32)) if v.dtype != jnp.int32
+                        else jnp.sum(v) for v in jax.tree.leaves(out))
+                return k, acc + s
+
+            _, acc = jax.lax.fori_loop(0, it, body, (k0, jnp.int32(0)))
+            return acc
+
+        runner = jax.jit(runner, static_argnums=(1,))
+        key = jax.random.PRNGKey(7)
+
+        def timed(it):
+            t0 = time.perf_counter()
+            int(runner(key, it))
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        slope = _slope_seconds_per_iter(timed, iters, **kw)
+        rec = {"cfg": name, "batch": batch, "fps": round(batch / slope, 1),
+               "ms_per_call": round(slope * 1e3, 4),
+               "measure_s": round(time.perf_counter() - t0, 1),
+               "ts": time.time()}
+        if extra:
+            rec.update(extra)
+        log(rec)
+        return batch / slope
+
+    return guard(name, run)
+
+
+def measure_chain(name, fn, x0, iters=32, extra=None, **kw):
+    """Rate of an array-to-array device function ``fn(x) -> x'`` (same
+    shape/dtype): iterations feed each output to the next input — a true
+    data dependency, so nothing is hoisted or elided."""
+    import jax
+    import jax.numpy as jnp
+
+    from polar_tpu.utils.benchmark import _slope_seconds_per_iter
+
+    def run():
+        def runner(x, it):
+            y = jax.lax.fori_loop(0, it, lambda _, v: fn(v), x)
+            return jnp.sum(y.astype(jnp.int32))
+
+        runner = jax.jit(runner, static_argnums=(1,))
+
+        def timed(it):
+            t0 = time.perf_counter()
+            int(runner(x0, it))
+            return time.perf_counter() - t0
+
+        batch = int(x0.shape[-1])
+        t0 = time.perf_counter()
+        slope = _slope_seconds_per_iter(timed, iters, **kw)
+        rec = {"cfg": name, "batch": batch, "fps": round(batch / slope, 1),
+               "ms_per_call": round(slope * 1e3, 4),
+               "measure_s": round(time.perf_counter() - t0, 1),
+               "ts": time.time()}
+        if extra:
+            rec.update(extra)
+        log(rec)
+        return batch / slope
+
+    return guard(name, run)
+
+
+def measure_step(name, code, batch, iters=32, snr_db=0.5, **mk_kw):
+    """End-to-end Monte-Carlo step rate through make_step_body."""
+    import jax
+
+    from polar_tpu.ber import make_step_body
+
+    def run():
+        body = make_step_body(code, **mk_kw)
+        step = jax.jit(lambda k, s: body(k, s, batch))
+        return measure_keyed(name, lambda k: step(k, snr_db), batch,
+                             iters=iters)
+
+    return guard(name, run)
+
+
+# ---------------------------------------------------------------------
+# Probe kernels: isolate the hardware-PRNG draw rate and the per-stage
+# cost of the front's in-kernel math (measurement-only code).
+# ---------------------------------------------------------------------
+
+def _mk_probe(rows, frame_tile, body_fn, n_draws):
+    """A kernel that draws ``n_draws`` (rows, frame_tile) u32 blocks,
+    maps them through ``body_fn`` and folds to one scalar per grid step
+    (the fold costs ~1 add/element — identical across probes, so probe
+    DIFFERENCES isolate the draw/math cost)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polar_tpu.ops.pallas.step_kernel import (_GOLDEN, _key_seeds,
+                                                  _random_u32)
+
+    def kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (pl.program_id(0) * jnp.int32(_GOLDEN)))
+        acc = jnp.float32(0.0)
+        for _ in range(n_draws):
+            bits = _random_u32((rows, frame_tile))
+            acc = acc + jnp.sum(body_fn(bits))
+        out_ref[pl.program_id(0), 0] = acc.astype(jnp.int32)
+
+    def probe(key, batch):
+        grid = batch // frame_tile
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(_key_seeds(key))
+        return jnp.sum(out)
+
+    return probe
+
+
+def stage_prngrate(m=14, batch=2048, tile=128):
+    """How fast does pltpu.prng_random_bits actually draw? Probes at the
+    m14 front shape (16384 rows x 128 lanes x 16 grid steps): 1 vs 2
+    draws isolates the marginal draw cost; sym/normals add the front's
+    per-draw math on top."""
+    import jax
+    import jax.numpy as jnp
+
+    from polar_tpu.ops.pallas.step_kernel import (_bits_to_normals,
+                                                  _bits_to_sym)
+
+    rows = 1 << m
+    el = rows * batch
+
+    def bitsum(b):
+        return jax.lax.bitcast_convert_type(b, jnp.int32).astype(jnp.float32)
+
+    probes = [
+        ("draw1", rows, 1, bitsum),
+        ("draw2", rows, 2, bitsum),
+        ("draw4", rows, 4, bitsum),
+        ("sym1", rows, 1, _bits_to_sym),
+        # Box-Muller holds several f32 temporaries per block — probe at
+        # kernel B's actual row-block height (4096), padding the grid so
+        # the element count stays comparable
+        ("normals1-r4096", 4096, 1, _bits_to_normals),
+        ("sym1-r4096", 4096, 1, _bits_to_sym),
+    ]
+    for name, r, nd, body in probes:
+        fn = _mk_probe(r, tile, body, nd)
+        b = batch * (rows // r)
+        measure_keyed(f"m{m}-probe-{name}", lambda k, f=fn, bb=b: f(k, bb),
+                      b, iters=32, extra={"rows": r, "draws": nd,
+                                          "elements": r * b})
+
+
+def stage_mathprobe(rows=4096, tile=128, batch=8192):
+    """Per-op cost of the channel kernel's math building blocks, each on
+    top of the draw1 baseline (probe differences isolate the op): the
+    Box-Muller candidates for replacement (log, sqrt, cos, sin) and the
+    glue (unit-convert, rint/clip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from polar_tpu.ops.pallas.step_kernel import _bits_to_unit
+
+    def as_f32(b):
+        return jax.lax.bitcast_convert_type(b, jnp.int32).astype(jnp.float32)
+
+    probes = [
+        ("base", lambda b: as_f32(b)),
+        ("unit", lambda b: _bits_to_unit(b)),
+        ("log", lambda b: jnp.log(_bits_to_unit(b))),
+        ("sqrt", lambda b: jnp.sqrt(_bits_to_unit(b))),
+        ("cos", lambda b: jnp.cos(_bits_to_unit(b) * jnp.float32(6.283))),
+        ("sin", lambda b: jnp.sin(_bits_to_unit(b) * jnp.float32(6.283))),
+        ("rintclip", lambda b: jnp.clip(jnp.rint(_bits_to_unit(b) *
+                                                 jnp.float32(77.3)),
+                                        jnp.float32(-128), jnp.float32(127))),
+        ("exp2", lambda b: jnp.exp2(_bits_to_unit(b))),
+        ("rlog", lambda b: jnp.sqrt(jnp.float32(-2.0) *
+                                    jnp.log(_bits_to_unit(b)))),
+    ]
+    for name, body in probes:
+        fn = _mk_probe(rows, tile, body, 1)
+        measure_keyed(f"mathprobe-{name}", lambda k, f=fn: f(k, batch),
+                      batch, iters=64, extra={"rows": rows,
+                                              "elements": rows * batch})
+
+
+def stage_frontprofile(ms=(13, 14), systematic=True):
+    """Split the block front's cost into its three parts (kernel A /
+    XLA middle / kernel B) at the campaign batch sizes — the m14 front
+    is 1.81 ms vs 1.15 ms decode (receipts m14-blockfront-*), and this
+    locates the milliseconds before any optimization."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        front = make_pallas_front_blocks(code, frame_tile=128,
+                                         block_level=min(13, m - 1),
+                                         systematic=systematic)
+        tag = "sys" if systematic else "nonsys"
+        measure_keyed(f"m{m}-front-{tag}-total",
+                      lambda k, f=front, b=batch: f(k, 0.5, b), batch)
+        measure_keyed(f"m{m}-front-{tag}-kernelA",
+                      lambda k, f=front, b=batch: f.draw_u0(k, b), batch)
+        # middle: array-chained (output feeds the next input — the
+        # values stay in ±1 so the chain is self-sustaining); kernel B:
+        # keyed on a fixed middle output (the PRNG key changes per
+        # iteration, so the call can't be hoisted)
+        u0 = jax.jit(front.draw_u0, static_argnums=(1,))(
+            jax.random.PRNGKey(3), batch)
+        measure_chain(f"m{m}-front-{tag}-middle", front.middle, u0)
+        x = jax.device_put(jax.jit(front.middle)(u0))
+        del u0
+        measure_keyed(f"m{m}-front-{tag}-kernelB",
+                      lambda k, xx=x, f=front: f.channel(k, xx, 0.5), batch)
+
+
+def stage_steprate(ms=(13, 14, 15, 16), systematic=True):
+    """End-to-end Monte-Carlo step rate at the large-N frontier — the
+    VERDICT r2 'chain at decode speed' gap (targets >= 60% of
+    decode-only)."""
+    import polar_tpu as pt
+
+    tag = "sys" if systematic else "nonsys"
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        measure_step(f"m{m}-steprate-{tag}", code, batch,
+                     systematic=systematic, rng="pallas")
+
+
+def stage_frontcfg(m=13, batch=4096):
+    """Block-front geometry A/B at m13: frame tile 256 (fewer, wider
+    grid steps), taller channel blocks (the leaner poly-sincos channel
+    math may fit blk 8192 where the builtin-trig form OOM'd at 17.9M),
+    and their combinations."""
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+
+    code = pt.make_code(m, rate=0.5)
+    for bl, cbl, tile in ((13, 12, 128), (13, 13, 128), (13, 11, 256),
+                          (13, 12, 256), (12, 11, 256)):
+        front = make_pallas_front_blocks(
+            code, frame_tile=tile, block_level=min(bl, m - 1),
+            chan_block_level=min(cbl, m), systematic=True)
+        measure_keyed(f"m{m}-frontcfg-bl{bl}-cbl{cbl}-t{tile}",
+                      lambda k, f=front, b=batch: f(k, 0.5, b), batch)
+
+
+def stage_decodecount(m=13, batch=4096):
+    """Fused decode+count at m13 (the front path still runs separate
+    decode + XLA counters there): does the whole-code decode_count
+    kernel fit VMEM at m13-t128, and what's the step-shaped rate
+    (decode+count on fixed front outputs) vs the split path?"""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import (make_pallas_decode_count,
+                                                  make_pallas_front_blocks)
+
+    import jax.numpy as jnp
+
+    code = pt.make_code(m, rate=0.5)
+    front = make_pallas_front_blocks(code, frame_tile=128,
+                                     block_level=m - 1, systematic=True)
+    llr_t, cw_t = jax.jit(lambda k: front(k, 0.5, batch))(
+        jax.random.PRNGKey(5))
+
+    def perturbed(k, a):
+        # key-derived int8 scalar added to the LLRs: a true per-iteration
+        # data dependency (decode cost is data-independent), nothing
+        # hoistable out of the timing loop
+        d = jax.random.key_data(k).reshape(-1)[0].astype(jnp.int8)
+        return a + d
+
+    for tile in (128, 256):
+        dc = make_pallas_decode_count(code, frame_tile=tile)
+        measure_keyed(f"m{m}-decodecount-t{tile}",
+                      lambda k, f=dc, a=llr_t, b=cw_t: f(perturbed(k, a), b),
+                      batch)
+
+
+def stage_lanemajor(ms=(14, 15, 16, 17)):
+    """Frame-major vs lane-major hybrid decode (VERDICT r2 weak-5: the
+    frame-major champion pays two transposes per subtree-kernel call
+    site; the zero-transpose lane-major entry was only ever measured at
+    N=1024). Same kl13-t128 config, output=u, int8."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        dec = pt.make_fastssc_decoder(code, output_dtype=jnp.int8,
+                                      kernel_level=13, kernel_frame_tile=128)
+        llrs = llr_batch(code, batch)
+        measure(f"m{m}-hybrid-framemajor", lambda d=dec: d, llrs, iters=16)
+        llr_t = llrs.T
+        kpad = code.N - code.K
+
+        def lane_step(x, d=dec, kp=kpad):
+            out = d.lane_major(x)                    # (K, B) int8
+            return x + jnp.pad(out, ((0, kp), (0, 0))).astype(x.dtype)
+
+        measure_chain(f"m{m}-hybrid-lanemajor", lane_step, llr_t, iters=16)
+
+
+STAGES = {
+    "prngrate": stage_prngrate,
+    "mathprobe": stage_mathprobe,
+    "frontprofile": stage_frontprofile,
+    "frontcfg": stage_frontcfg,
+    "decodecount": stage_decodecount,
+    "steprate": stage_steprate,
+    "lanemajor": stage_lanemajor,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stage", help="stage name")
+    ap.add_argument("--list", action="store_true", help="list stages")
+    args = ap.parse_args()
+    if args.list or not args.stage:
+        for name in STAGES:
+            print(name)
+        return 0
+    from polar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    STAGES[args.stage]()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,15 @@ def main() -> int:
     ap.add_argument("--rate", type=float, default=0.5)
     ap.add_argument("--k", type=int, default=None, help="override K")
     ap.add_argument("--non-systematic", action="store_true")
+    ap.add_argument("--threshold", type=float, default=None, metavar="T",
+                    help="threshold-mode construction (the testbench's "
+                         "alternate branch, testbench.cc:78-81): freeze "
+                         "every bit whose erasure probability exceeds T; "
+                         "K becomes an OUTPUT (--rate/--k are ignored)")
+    ap.add_argument("--erasure-probability", type=float, default=0.5,
+                    metavar="PE", help="channel erasure probability fed to "
+                         "the threshold-mode recursion (default 0.5, the "
+                         "testbench's)")
     ap.add_argument("--dtype", choices=["int8", "float32"], default="int8")
     ap.add_argument("--compute", default=None,
                     help="compute mode: int8|qfloat|qfloat-f32|float32")
@@ -66,8 +75,16 @@ def main() -> int:
 
     import polar_tpu as pt
 
-    code = pt.make_code(args.m, K=args.k, rate=None if args.k else args.rate)
-    design = pt.design_snr_db(1.0 - code.rate)
+    if args.threshold is not None:
+        from polar_tpu.code.construction import make_code_threshold
+
+        code = make_code_threshold(args.m, args.erasure_probability,
+                                   args.threshold)
+        design = pt.design_snr_db(args.erasure_probability)
+    else:
+        code = pt.make_code(args.m, K=args.k,
+                            rate=None if args.k else args.rate)
+        design = pt.design_snr_db(1.0 - code.rate)
     print(f"design SNR: {design:.5g}", file=sys.stderr)
     print(f"Polar({code.N}, {code.K})", file=sys.stderr)
     prog = pt.compile_program(code)

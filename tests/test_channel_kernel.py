@@ -17,13 +17,17 @@ import polar_tpu as pt
 from polar_tpu.ber import make_step_body
 from polar_tpu.ops.pallas.channel_kernel import (
     make_pallas_awgn, make_pallas_symbols, pick_blocks)
-from polar_tpu.ops.pallas.step_kernel import _bits_to_unit
+from polar_tpu.ops.pallas.step_kernel import _bits_to_unit, _sincos_2pi
 
 
 def _ref_normals(b1, b2):
+    # the shared quadrant-reduced cosine, NOT jnp.cos — the kernels use
+    # it for speed (builtin trig is ~26 Mosaic ops) and the bits-mode
+    # exactness contract is "identical math inside and outside the
+    # kernel"; test_sincos_2pi_accuracy pins it against the builtin
     u1, u2 = _bits_to_unit(b1), _bits_to_unit(b2)
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-    return r * jnp.cos(jnp.float32(2.0 * np.pi) * u2)
+    return r * _sincos_2pi(u2)[0]
 
 
 def test_pick_blocks():

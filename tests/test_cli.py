@@ -38,6 +38,29 @@ def test_waterfall_cli(tmp_path):
     assert plot.stat().st_size > 1000
 
 
+def test_waterfall_cli_threshold_mode(tmp_path):
+    """--threshold drives the testbench's alternate construction branch
+    (testbench.cc:78-81): K is an output, not an input."""
+    from polar_tpu.code.construction import make_code_threshold
+
+    expect = make_code_threshold(5, 0.5, 0.5)
+    out = tmp_path / "wf.json"
+    r = subprocess.run(
+        [
+            sys.executable, str(REPO / "scripts" / "waterfall.py"),
+            "--m", "5", "--threshold", "0.5", "--cpu", "--batch", "128",
+            "--max-frames", "256", "--target-errors", "50",
+            "--snr-min", "4", "--snr-max", "10", "--snr-step", "2",
+            "--no-throughput", "--out", str(out),
+        ],
+        capture_output=True, text=True, env=_env(), cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"Polar(32, {expect.K})" in r.stderr
+    data = json.loads(out.read_text())
+    assert data["code_k"] == expect.K
+
+
 def test_bench_help_importable():
     """bench.py must at least import and expose main() (full run needs TPU)."""
     r = subprocess.run(

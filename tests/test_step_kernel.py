@@ -153,6 +153,23 @@ def test_bits_to_normals_distribution():
     assert abs(np.mean(n**4) - 3.0) < 0.15
 
 
+def test_sincos_2pi_accuracy():
+    """The quadrant-reduced polynomial sincos must track the builtins to
+    f32-roundoff over the full (0, 1) argument range, including the
+    quadrant boundaries (k = rint(4u) seams at u = 1/8, 3/8, 5/8, 7/8)."""
+    from polar_tpu.ops.pallas.step_kernel import _sincos_2pi
+
+    u = np.concatenate([
+        np.linspace(1e-7, 1.0 - 1e-7, 200001, dtype=np.float32),
+        np.float32([0.125, 0.375, 0.625, 0.875]) + np.float32(2.0 ** -24),
+        np.float32([0.125, 0.375, 0.625, 0.875]) - np.float32(2.0 ** -24),
+    ])
+    c, s = _sincos_2pi(jnp.asarray(u))
+    theta = 2.0 * np.pi * u.astype(np.float64)
+    assert np.max(np.abs(np.asarray(c, np.float64) - np.cos(theta))) < 3e-7
+    assert np.max(np.abs(np.asarray(s, np.float64) - np.sin(theta))) < 3e-7
+
+
 def test_bits_to_sym_balance():
     bits = jax.random.bits(jax.random.PRNGKey(4), (1 << 18,), jnp.uint32)
     s = np.asarray(_bits_to_sym(bits))
