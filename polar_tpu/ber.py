@@ -72,6 +72,11 @@ class CampaignResult:
 # m13-steprate-sys-blockfront), so m >= 13 always takes the block path.
 _FRONT_WHOLE_MAX_LEVEL = 12   # make_pallas_front / whole-code SSA ceiling
 _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
+# decode+count fusion ceiling: the whole-code SSA decode_count kernel
+# (no front live set — lighter than the step kernel that OOM'd at m13)
+# compiles and wins at m13-t128 (receipt m13-decodecount-t128); above
+# that the decode must be the hybrid, whose top levels are XLA.
+_DECODE_COUNT_MAX_LEVEL = 13
 
 
 def _front_decode_cfg(level: int) -> tuple[int, int]:
@@ -143,16 +148,23 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 code, frame_tile=128,
                 block_level=min(_FRONT_BLOCK_LEVEL, code.level - 1),
                 interpret=rng_interpret, prng=kprng, systematic=systematic)
-            kl, ktile = _front_decode_cfg(code.level)
-            front_dec = make_fastssc_decoder(
-                code, output="codeword" if systematic else "u",
-                output_dtype=jnp.int8,
-                kernel_level=kl,
-                kernel_frame_tile=ktile, kernel_interpret=rng_interpret)
-            if systematic:
-                decode_cw_lane = front_dec.lane_major
+            if systematic and code.level <= _DECODE_COUNT_MAX_LEVEL:
+                # block front + whole-code decode+count kernel: no
+                # cw_hat HBM round trip, no XLA counter pass
+                from .ops.pallas.step_kernel import make_pallas_decode_count
+                decode_count = make_pallas_decode_count(
+                    code, frame_tile=128, interpret=rng_interpret)
             else:
-                decode_u_lane = front_dec.lane_major
+                kl, ktile = _front_decode_cfg(code.level)
+                front_dec = make_fastssc_decoder(
+                    code, output="codeword" if systematic else "u",
+                    output_dtype=jnp.int8,
+                    kernel_level=kl,
+                    kernel_frame_tile=ktile, kernel_interpret=rng_interpret)
+                if systematic:
+                    decode_cw_lane = front_dec.lane_major
+                else:
+                    decode_u_lane = front_dec.lane_major
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
         info_idx = jnp.asarray(code.info_indices)
     if use_kernel_rng:

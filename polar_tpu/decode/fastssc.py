@@ -152,14 +152,7 @@ class _TreeDecoder:
         ):
             kernel = self.subtree_kernel_for(node)
             if kernel is not None:
-                outs = kernel(soft)
-                base = 0
-                if self.kernel_emits_u:
-                    self.mesg.append(outs[0].astype(soft.dtype))
-                    base = 1
-                hard = outs[base].astype(soft.dtype)
-                return hard, (outs[base + 1].astype(soft.dtype)
-                              if cw else None)
+                return self._kernel_outs(kernel(soft), soft.dtype)
         if kind == "rate0":
             ones = jnp.ones_like(soft)
             return ones, (ones if cw else None)
@@ -188,7 +181,7 @@ class _TreeDecoder:
             return (self._cat([hard_r, hard_r]),
                     self._cat([cw_r, cw_r]) if cw else None)
         if kind == "rate1_comb":
-            hard_l, cw_l = self.decode(node.left, self._f(soft))
+            hard_l, cw_l = self._decode_left(node, soft)
             hard_r = ph.signum(self._g(hard_l, soft))
             t = self._transform(hard_r)
             self.mesg.append(t)
@@ -198,11 +191,34 @@ class _TreeDecoder:
                 cw_v = self._cat([cw_l * cw_r, cw_r])
             return (self._cat([ph.qmul(hard_l, hard_r), hard_r]), cw_v)
         if kind == "branch":
-            hard_l, cw_l = self.decode(node.left, self._f(soft))
+            hard_l, cw_l = self._decode_left(node, soft)
             hard_r, cw_r = self.decode(node.right, self._g(hard_l, soft))
             return (self._cat([ph.qmul(hard_l, hard_r), hard_r]),
                     self._cat([cw_l * cw_r, cw_r]) if cw else None)
         raise AssertionError(kind)  # pragma: no cover
+
+    def _kernel_outs(self, outs, dtype):
+        base = 0
+        if self.kernel_emits_u:
+            self.mesg.append(outs[0].astype(dtype))
+            base = 1
+        hard = outs[base].astype(dtype)
+        return hard, (outs[base + 1].astype(dtype)
+                      if self.want_cw else None)
+
+    def _decode_left(self, node: Node, soft):
+        """Decode the left child of a branch/rate1_comb node. When the
+        child is kernel-eligible and parent-f fusion is on, the parent's
+        f op runs INSIDE the child's kernel (one fewer XLA pass per
+        left-descend — the boundary-level f's are the hybrid top's
+        hottest rows); otherwise the usual XLA f feeds the recursion."""
+        if self.subtree_kernel_for is not None and node.left.kind in (
+            "branch", "rate0_right", "rate1_comb"
+        ):
+            kernel = self.subtree_kernel_for(node.left, fuse_f=True)
+            if kernel is not None:
+                return self._kernel_outs(kernel(soft), soft.dtype)
+        return self.decode(node.left, self._f(soft))
 
 
 def _resolve_arith(compute, dtype):
@@ -235,6 +251,7 @@ def make_fastssc_decoder(
     kernel_compute_dtype=None,
     kernel_interpret: bool = False,
     kernel_style: str = "ssa",
+    kernel_fuse_f: bool = False,
 ):
     """Build a jittable Fast-SSC decoder specialized for ``code``.
 
@@ -266,6 +283,12 @@ def make_fastssc_decoder(
     Pallas decoder's contract). ``kernel_style``: ``"ssa"`` (default,
     value-passing kernel body — measured faster) or ``"scratch"``
     (explicit VMEM pyramid); bit-identical outputs.
+
+    ``kernel_fuse_f`` (SSA only): kernel-eligible LEFT children absorb
+    their parent's f op into the kernel (input = the parent's soft slot,
+    2x rows) — one fewer XLA pass per left-descend call site plus the
+    cached-abs elision for the fused f. Bit-exact; costs one extra
+    (2len, tile) int8 input block of VMEM per kernel.
 
     The returned function is pure and shape-polymorphic in leading batch
     dimensions; it retraces only per distinct (N, frozen-set) — the
@@ -299,10 +322,12 @@ def make_fastssc_decoder(
         def _kernel_for(layout: str):
             cache: dict = {}
 
-            def subtree_kernel_for(node: Node):
+            def subtree_kernel_for(node: Node, fuse_f: bool = False):
                 if node.level > kernel_level or node.mesg_bits < 1:
                     return None
-                key = emit_program(node, node.level).tobytes()
+                if fuse_f and not (kernel_fuse_f and kernel_style == "ssa"):
+                    return None
+                key = (emit_program(node, node.level).tobytes(), fuse_f)
                 if key not in cache:
                     # jit the subtree decoder so repeated call sites of
                     # the same frozen pattern reuse ONE traced/lowered
@@ -321,6 +346,7 @@ def make_fastssc_decoder(
                         emit_cw=use_fused_cw,
                         emit_u=kernel_emit_u,
                         layout=layout,
+                        fuse_f=fuse_f,
                     ))
                 return cache[key]
 

@@ -419,31 +419,58 @@ def _ssa_decoder_kernel_cw(tree: Node, compute_dtype, llr_ref, mesg_ref,
     cw_ref[...] = cw.astype(cw_ref.dtype)
 
 
-def _ssa_subtree_kernel(tree: Node, compute_dtype, llr_ref, mesg_ref,
-                        hard_ref):
+def _fused_f_soft(psoft_ref, cdtype):
+    """In-kernel f of the PARENT's soft slot: returns the child's
+    ``(soft, cabs)`` pair — exactly the ops the enclosing XLA recursion
+    would run (``polar_decoder.hh:28-35`` semantics, sign-free form).
+    The parent slot may contain -128 (``safe=False`` guards); the output
+    is f-produced, so the child body runs ``safe=True`` with the
+    cached-abs handoff (its own abs/guard ops vanish — the same exact
+    elision the in-kernel parent f's give their children)."""
+    half = psoft_ref.shape[0] // 2
+    a = psoft_ref[pl.ds(0, half), :].astype(cdtype)
+    b = psoft_ref[pl.ds(half, half), :].astype(cdtype)
+    ap, bp = _guard(a, False), _guard(b, False)
+    fabs = jnp.minimum(jnp.abs(ap), jnp.abs(bp))
+    return _isign(a * b) * fabs, fabs
+
+
+def _subtree_entry(tree: Node, b: _SsaBuilder, fuse_f: bool, llr_ref,
+                   compute_dtype, **node_kw):
+    """Shared entry of the SSA subtree kernels: load (and optionally
+    parent-f) the input slot, then run the recursion."""
+    if fuse_f:
+        soft, cabs = _fused_f_soft(llr_ref, compute_dtype)
+        return b.node(tree, soft, safe=True, cabs=cabs, **node_kw)
+    return b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
+                  **node_kw)
+
+
+def _ssa_subtree_kernel(tree: Node, compute_dtype, fuse_f, llr_ref,
+                        mesg_ref, hard_ref):
     """SSA twin of _subtree_kernel: the hard estimate IS needed (the
     enclosing XLA recursion's g/combine consume it), returned as the
     recursion's value and stored once."""
     b = _SsaBuilder(mesg_ref, compute_dtype)
-    hard, _ = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
-                     need_hard=True)
+    hard, _ = _subtree_entry(tree, b, fuse_f, llr_ref, compute_dtype,
+                             need_hard=True)
     hard_ref[...] = hard.astype(hard_ref.dtype)
 
 
-def _ssa_subtree_kernel_cw(tree: Node, compute_dtype, llr_ref, mesg_ref,
-                           hard_ref, cw_ref):
+def _ssa_subtree_kernel_cw(tree: Node, compute_dtype, fuse_f, llr_ref,
+                           mesg_ref, hard_ref, cw_ref):
     """Subtree kernel emitting u, hard AND the codeword-estimate track —
     used by the hybrid decoder's fused systematic/codeword output (the
     XLA upper levels combine per-subtree cw blocks node-wise instead of
     re-encoding the whole u vector)."""
     b = _SsaBuilder(mesg_ref, compute_dtype)
-    hard, cw = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
-                      need_hard=True, need_cw=True)
+    hard, cw = _subtree_entry(tree, b, fuse_f, llr_ref, compute_dtype,
+                              need_hard=True, need_cw=True)
     hard_ref[...] = hard.astype(hard_ref.dtype)
     cw_ref[...] = cw.astype(cw_ref.dtype)
 
 
-def _ssa_subtree_kernel_cw_nou(tree: Node, compute_dtype, llr_ref,
+def _ssa_subtree_kernel_cw_nou(tree: Node, compute_dtype, fuse_f, llr_ref,
                                hard_ref, cw_ref):
     """``_ssa_subtree_kernel_cw`` without the u output: for
     ``output="systematic"``/``"codeword"`` hybrid decodes the message
@@ -452,8 +479,8 @@ def _ssa_subtree_kernel_cw_nou(tree: Node, compute_dtype, llr_ref,
     m15 front's kl13-t128/kl12-t256 subtree kernels inside fori_loop
     bodies: 16.23M/16.11M scoped vs the 16M limit)."""
     b = _SsaBuilder(None, compute_dtype)
-    hard, cw = b.node(tree, llr_ref[...].astype(compute_dtype), safe=False,
-                      need_hard=True, need_cw=True)
+    hard, cw = _subtree_entry(tree, b, fuse_f, llr_ref, compute_dtype,
+                              need_hard=True, need_cw=True)
     hard_ref[...] = hard.astype(hard_ref.dtype)
     cw_ref[...] = cw.astype(cw_ref.dtype)
 
@@ -489,6 +516,7 @@ def make_subtree_decoder(
     emit_cw: bool = False,
     emit_u: bool = True,
     layout: str = "frame",
+    fuse_f: bool = False,
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -517,6 +545,12 @@ def make_subtree_decoder(
     element-major tiles); ``"lane"`` takes/returns element-major
     ``(len, B)`` directly — the zero-transpose path used by the
     lane-major hybrid decoder.
+
+    ``fuse_f`` (SSA only): the kernel's input is the PARENT node's soft
+    slot (``2*len`` rows) and the parent's f op runs in-kernel feeding
+    the subtree via the cached-abs handoff — one fewer XLA pass per
+    left-descend call site, and the f itself gets the exact abs elision.
+    Bit-exact (the fused f is op-identical to the XLA f).
     """
     n = 1 << tree.level
     k = tree.mesg_bits
@@ -524,13 +558,16 @@ def make_subtree_decoder(
         raise ValueError("kernelize only nodes that emit message bits")
     if not emit_u and not (style == "ssa" and emit_cw):
         raise ValueError("emit_u=False requires the SSA style with emit_cw")
+    if fuse_f and style != "ssa":
+        raise ValueError("fuse_f requires the SSA kernel style")
+    in_rows = 2 * n if fuse_f else n
     if style == "ssa":
         if emit_cw:
             body = _ssa_subtree_kernel_cw if emit_u \
                 else _ssa_subtree_kernel_cw_nou
         else:
             body = _ssa_subtree_kernel
-        kernel = functools.partial(body, tree, compute_dtype)
+        kernel = functools.partial(body, tree, compute_dtype, fuse_f)
         scratch_shapes = []
     elif style == "scratch":
         if emit_cw:
@@ -545,14 +582,14 @@ def make_subtree_decoder(
 
     out_rows = ((k,) if emit_u else ()) + (n, n)[:1 + bool(emit_cw)]
 
-    def call(soft_t):  # (len, B) element-major
+    def call(soft_t):  # (in_rows, B) element-major
         bt = frame_tile
         grid = soft_t.shape[1] // bt
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((n, bt), lambda i: (0, i),
+                pl.BlockSpec((in_rows, bt), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(
@@ -574,10 +611,11 @@ def make_subtree_decoder(
 
     if layout == "lane":
         def decode_lane(soft_t):
-            if soft_t.shape[0] != n or soft_t.shape[1] % frame_tile:
+            if soft_t.shape[0] != in_rows or soft_t.shape[1] % frame_tile:
                 raise ValueError(
-                    f"lane layout expects (len={n}, B) with B a multiple "
-                    f"of frame_tile {frame_tile}, got {soft_t.shape}"
+                    f"lane layout expects (len={in_rows}, B) with B a "
+                    f"multiple of frame_tile {frame_tile}, got "
+                    f"{soft_t.shape}"
                 )
             return call(soft_t)
 

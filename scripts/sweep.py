@@ -383,6 +383,26 @@ def stage_decodecount(m=13, batch=4096):
                       batch)
 
 
+def stage_fusef(ms=(14, 15, 16)):
+    """Parent-f fusion A/B: hybrid kl13-t128 with and without
+    kernel_fuse_f (the boundary-level f's absorbed into the kernels),
+    output=u frame-major (the THROUGHPUT-table config)."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for fuse in (False, True):
+            measure(f"m{m}-hybrid-fusef{int(fuse)}",
+                    lambda f=fuse, c=code: pt.make_fastssc_decoder(
+                        c, output_dtype=jnp.int8, kernel_level=13,
+                        kernel_frame_tile=128, kernel_fuse_f=f),
+                    llrs, iters=16)
+
+
 def stage_lanemajor(ms=(14, 15, 16, 17)):
     """Frame-major vs lane-major hybrid decode (VERDICT r2 weak-5: the
     frame-major champion pays two transposes per subtree-kernel call
@@ -409,7 +429,75 @@ def stage_lanemajor(ms=(14, 15, 16, 17)):
         measure_chain(f"m{m}-hybrid-lanemajor", lane_step, llr_t, iters=16)
 
 
+def stage_sincosab(m=13, batch=4096):
+    """Same-process A/B of the poly sincos vs the Mosaic builtins in the
+    block front (cross-day step receipts are ±5% noisy; this isolates
+    the trig swap with one meter, one machine state)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas import step_kernel as sk
+
+    code = pt.make_code(m, rate=0.5)
+
+    def builtin_sincos(u):
+        theta = jnp.float32(2.0 * np.pi) * u
+        return jnp.cos(theta), jnp.sin(theta)
+
+    poly = sk._sincos_2pi
+    for name, impl in (("poly", poly), ("builtin", builtin_sincos),
+                       ("poly-again", poly)):
+        sk._sincos_2pi = impl
+        try:
+            front = sk.make_pallas_front_blocks(
+                code, frame_tile=128, block_level=m - 1, systematic=True)
+            measure_keyed(f"m{m}-sincosab-{name}",
+                          lambda k, f=front, b=batch: f(k, 0.5, b), batch)
+        finally:
+            sk._sincos_2pi = poly
+
+
+def stage_bigm(m=22, batch=8):
+    """Decode-frontier rung (VERDICT r2 next-6): one noiseless
+    round-trip at m=22 (N=4,194,304) through the hybrid kl13-t128,
+    recording first-call trace+compile and steady-state times. The r2
+    ladder reached m=21 (2055 s first call); distinct subtree patterns
+    are jitted once, so the ceiling is the XLA top-graph trace."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    def run():
+        code = pt.make_code(m, rate=0.5)
+        rng = np.random.default_rng(7)
+        msg = (1 - 2 * rng.integers(0, 2, (batch, code.K))).astype(np.int8)
+        cw = pt.encode(code, jnp.asarray(msg))
+        llr = (cw.astype(jnp.int8) * jnp.int8(96)).astype(jnp.int8)
+        del cw
+        dec = jax.jit(pt.make_fastssc_decoder(
+            code, output_dtype=jnp.int8, kernel_level=13,
+            kernel_frame_tile=128))
+        t0 = time.perf_counter()
+        out = np.asarray(dec(llr))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out2 = np.asarray(dec(llr))
+        t_second = time.perf_counter() - t0
+        log({"cfg": f"m{m}-probe", "noiseless_roundtrip":
+             bool(np.array_equal(out, msg) and np.array_equal(out2, msg)),
+             "first_call_s": round(t_first, 1),
+             "steady_call_s": round(t_second, 2),
+             "frames": batch, "ts": time.time()})
+
+    guard(f"m{m}-probe", run)
+
+
 STAGES = {
+    "bigm": stage_bigm,
+    "sincosab": stage_sincosab,
     "prngrate": stage_prngrate,
     "mathprobe": stage_mathprobe,
     "frontprofile": stage_frontprofile,
@@ -417,6 +505,7 @@ STAGES = {
     "decodecount": stage_decodecount,
     "steprate": stage_steprate,
     "lanemajor": stage_lanemajor,
+    "fusef": stage_fusef,
 }
 
 

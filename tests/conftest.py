@@ -33,6 +33,7 @@ _SLOW = {
     "test_hybrid_lane_major_matches_frame_major",
     "test_hybrid_lane_major_pads_batch", "test_hybrid_autopad_matches_xla_small",
     "test_hybrid_matches_xla", "test_hybrid_systematic_output",
+    "test_hybrid_fuse_f_matches_plain",
     "test_hybrid_kernel_cache_shared",
     "test_hybrid_scratch_style_systematic_still_works",
     # fused step / front kernels
@@ -62,6 +63,28 @@ _SLOW = {
     "test_decoder_batch_polymorphism", "test_noiseless_roundtrip_int8",
     "test_sc_equals_fastssc_float", "test_qfloat_bitexact_with_int8",
     "test_readme_quickstart",
+    # second-pass stragglers (fast lane measured 7 min; these bring it
+    # under 5)
+    "test_inject_counters_match_xla_chain_nonsystematic",
+    "test_step_systematic_matches_old_reencode_path",
+    "test_seqpar_decode_small_meshes",
+    "test_pallas_matches_xla_int8",
+    "test_pallas_encoder_systematic_property",
+    "test_decode_parity_vs_reference_random_llrs",
+    "test_sharded_encoder_matches_local",
+    "test_pallas_saturation_edges",
+    "test_transform_axis0_matches_transpose",
+    "test_pallas_decode_parity_on_vectors",
+    "test_step_body_pallas_bits_falls_back_on_bad_shapes",
+    "test_ring_shift_matches_roll",
+    "test_campaign_with_qfloat_compute",
+    "test_multihost_cli_main",
+    "test_systematic_output_matches_reencode_gather",
+    "test_xla_lane_major_matches_frame_major",
+    "test_sharded_equals_sum_of_independent_shards",
+    "test_front_blocks_nonsys_inject_exact",
+    "test_sharded_point_reproducible",
+    "test_codeword_output_is_reencoded_u",
 }
 
 

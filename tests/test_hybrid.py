@@ -33,6 +33,25 @@ def test_hybrid_matches_xla(m, klevel, style):
     np.testing.assert_array_equal(hyb, ref)
 
 
+@pytest.mark.parametrize("output", ["u", "systematic"])
+@pytest.mark.parametrize("m,klevel", [(8, 5), (9, 6)])
+def test_hybrid_fuse_f_matches_plain(m, klevel, output):
+    """kernel_fuse_f=True (parent f absorbed into kernel-eligible left
+    children) must be bit-exact with the unfused hybrid and the XLA
+    path — in BOTH layouts (the lane_major entry takes the fused
+    kernels' 2x-row inputs too)."""
+    code = pt.make_code(m, rate=0.5)
+    llr = _llrs(code, 128, 1000 + m)
+    ref = np.asarray(jax.jit(make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8))(llr))
+    fused = make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8, kernel_level=klevel,
+        kernel_frame_tile=128, kernel_interpret=True, kernel_fuse_f=True)
+    np.testing.assert_array_equal(np.asarray(jax.jit(fused)(llr)), ref)
+    lane = np.asarray(jax.jit(fused.lane_major)(llr.T))
+    np.testing.assert_array_equal(lane.T, ref)
+
+
 def test_hybrid_systematic_output():
     code = pt.make_code(8, rate=0.5)
     llr = _llrs(code, 128, 42)

@@ -41,6 +41,9 @@ def test_doc_test_counts_are_current(request):
 
     import pytest
 
+    if request.config.option.markexpr:
+        pytest.skip("test-count guard needs the undeselected suite "
+                    "(-m filters change the item count)")
     items = request.session.items
     if len(items) < 250:
         pytest.skip("test-count guard needs a full-suite run")

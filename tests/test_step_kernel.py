@@ -338,22 +338,31 @@ def test_front_blocks_inject_matches_whole_front(bl, cbl):
 
 
 def test_block_front_step_matches_whole_front_step(monkeypatch):
-    """make_step_body's large-N branch (block front + hybrid lane_major
-    decode) must count bit-identically to the whole-front branch on the
-    same key in bits mode (identical streams end to end)."""
+    """make_step_body's large-N branches must count bit-identically to
+    the whole-front branch on the same key in bits mode (identical
+    streams end to end) — BOTH the block front + whole-code
+    decode+count kernel (m13-class) and the block front + hybrid
+    lane_major decode + XLA counters (m14+-class)."""
     import polar_tpu.ber as ber
 
     code = pt.make_code(9, rate=0.5)
     whole = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
-    # force the block-front branch for this small code
+    # force the block-front branch for this small code; level 9 <=
+    # _DECODE_COUNT_MAX_LEVEL so this takes the decode_count path
     monkeypatch.setattr(ber, "_FRONT_WHOLE_MAX_LEVEL", 5)
     blockb = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    # ...and the hybrid lane_major + XLA-counter path (m14+-class)
+    monkeypatch.setattr(ber, "_DECODE_COUNT_MAX_LEVEL", 5)
+    blockx = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
     for k, snr in [(0, 14.0), (3, -1.0), (4, 1.5)]:
         a = {n: int(v)
              for n, v in blockb(jax.random.PRNGKey(k), snr, 256).items()}
         b = {n: int(v)
              for n, v in whole(jax.random.PRNGKey(k), snr, 256).items()}
+        c = {n: int(v)
+             for n, v in blockx(jax.random.PRNGKey(k), snr, 256).items()}
         assert a == b, (snr, a, b)
+        assert c == b, (snr, c, b)
     # odd batches fall back to the XLA chain (lazy decoder build)
     out = blockb(jax.random.PRNGKey(2), 14.0, 100)
     assert int(out["uncorrected_errors"]) == 0
