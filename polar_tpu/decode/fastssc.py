@@ -192,10 +192,15 @@ class _TreeDecoder:
             return (self._cat([ph.qmul(hard_l, hard_r), hard_r]), cw_v)
         if kind == "branch":
             hard_l, cw_l = self._decode_left(node, soft)
+            fused = self._decode_right_fused(node, soft, hard_l, cw_l)
+            if fused is not None:
+                return fused
             hard_r, cw_r = self.decode(node.right, self._g(hard_l, soft))
             return (self._cat([ph.qmul(hard_l, hard_r), hard_r]),
                     self._cat([cw_l * cw_r, cw_r]) if cw else None)
         raise AssertionError(kind)  # pragma: no cover
+
+    _KERNEL_KINDS = ("branch", "rate0_right", "rate1_comb")
 
     def _kernel_outs(self, outs, dtype):
         base = 0
@@ -208,17 +213,31 @@ class _TreeDecoder:
 
     def _decode_left(self, node: Node, soft):
         """Decode the left child of a branch/rate1_comb node. When the
-        child is kernel-eligible and parent-f fusion is on, the parent's
+        child is kernel-eligible and boundary fusion is on, the parent's
         f op runs INSIDE the child's kernel (one fewer XLA pass per
         left-descend — the boundary-level f's are the hybrid top's
         hottest rows); otherwise the usual XLA f feeds the recursion."""
-        if self.subtree_kernel_for is not None and node.left.kind in (
-            "branch", "rate0_right", "rate1_comb"
-        ):
-            kernel = self.subtree_kernel_for(node.left, fuse_f=True)
+        if self.subtree_kernel_for is not None \
+                and node.left.kind in self._KERNEL_KINDS:
+            kernel = self.subtree_kernel_for(node.left, fuse="f")
             if kernel is not None:
                 return self._kernel_outs(kernel(soft), soft.dtype)
         return self.decode(node.left, self._f(soft))
+
+    def _decode_right_fused(self, node: Node, soft, hard_l, cw_l):
+        """Right-child boundary fusion for a branch node: the kernel
+        takes the parent's soft slot + the left hard (and cw) blocks,
+        runs the parent's g AND combine in-kernel, and returns the
+        PARENT's combined outputs — the XLA level keeps only routing.
+        Returns None when the right child isn't fusable."""
+        if self.subtree_kernel_for is None \
+                or node.right.kind not in self._KERNEL_KINDS:
+            return None
+        kernel = self.subtree_kernel_for(node.right, fuse="g")
+        if kernel is None:
+            return None
+        args = (soft, hard_l) + ((cw_l,) if self.want_cw else ())
+        return self._kernel_outs(kernel(*args), soft.dtype)
 
 
 def _resolve_arith(compute, dtype):
@@ -251,7 +270,7 @@ def make_fastssc_decoder(
     kernel_compute_dtype=None,
     kernel_interpret: bool = False,
     kernel_style: str = "ssa",
-    kernel_fuse_f: bool = False,
+    kernel_fuse: bool = False,
 ):
     """Build a jittable Fast-SSC decoder specialized for ``code``.
 
@@ -284,11 +303,14 @@ def make_fastssc_decoder(
     value-passing kernel body — measured faster) or ``"scratch"``
     (explicit VMEM pyramid); bit-identical outputs.
 
-    ``kernel_fuse_f`` (SSA only): kernel-eligible LEFT children absorb
-    their parent's f op into the kernel (input = the parent's soft slot,
-    2x rows) — one fewer XLA pass per left-descend call site plus the
-    cached-abs elision for the fused f. Bit-exact; costs one extra
-    (2len, tile) int8 input block of VMEM per kernel.
+    ``kernel_fuse`` (SSA only): boundary fusion — kernel-eligible LEFT
+    children absorb their parent's f op (input = the parent's soft slot,
+    2x rows, with the cached-abs elision for the fused f), and
+    kernel-eligible RIGHT children of branch nodes absorb the parent's g
+    AND combine (inputs = parent soft + left hard/cw; outputs = the
+    parent's combined 2x-row blocks). At the kernel boundary level the
+    XLA top keeps nothing but routing. Bit-exact; costs extra input/
+    output VMEM blocks per kernel.
 
     The returned function is pure and shape-polymorphic in leading batch
     dimensions; it retraces only per distinct (N, frozen-set) — the
@@ -322,12 +344,12 @@ def make_fastssc_decoder(
         def _kernel_for(layout: str):
             cache: dict = {}
 
-            def subtree_kernel_for(node: Node, fuse_f: bool = False):
+            def subtree_kernel_for(node: Node, fuse: str | None = None):
                 if node.level > kernel_level or node.mesg_bits < 1:
                     return None
-                if fuse_f and not (kernel_fuse_f and kernel_style == "ssa"):
+                if fuse and not (kernel_fuse and kernel_style == "ssa"):
                     return None
-                key = (emit_program(node, node.level).tobytes(), fuse_f)
+                key = (emit_program(node, node.level).tobytes(), fuse)
                 if key not in cache:
                     # jit the subtree decoder so repeated call sites of
                     # the same frozen pattern reuse ONE traced/lowered
@@ -346,7 +368,7 @@ def make_fastssc_decoder(
                         emit_cw=use_fused_cw,
                         emit_u=kernel_emit_u,
                         layout=layout,
-                        fuse_f=fuse_f,
+                        fuse=fuse,
                     ))
                 return cache[key]
 

@@ -485,6 +485,59 @@ def _ssa_subtree_kernel_cw_nou(tree: Node, compute_dtype, fuse_f, llr_ref,
     cw_ref[...] = cw.astype(cw_ref.dtype)
 
 
+def _gfused_child_soft(psoft_ref, hardl_ref, cdtype):
+    """In-kernel g of the PARENT's soft slot with the left child's hard
+    estimate: the right child's input (``polar_decoder.hh:36-43``
+    semantics, sign-free form). The parent slot may hold -128 (guard on
+    the first half only, exactly like the XLA ``madd``)."""
+    half = psoft_ref.shape[0] // 2
+    a = psoft_ref[pl.ds(0, half), :].astype(cdtype)
+    b = psoft_ref[pl.ds(half, half), :].astype(cdtype)
+    hl = hardl_ref[...].astype(cdtype)
+    return hl, _sat_g(hl, _guard(a, False), b)
+
+
+def _ssa_subtree_kernel_g(tree: Node, compute_dtype, psoft_ref, hardl_ref,
+                          mesg_ref, hard_ref):
+    """Right-child kernel with the parent's g AND combine fused in:
+    input = parent soft (2len rows) + the left child's hard estimate;
+    output = the PARENT's combined hard ``[hl*hr, hr]`` (2len rows).
+    The enclosing XLA level keeps nothing but array routing."""
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    hl, soft = _gfused_child_soft(psoft_ref, hardl_ref, compute_dtype)
+    hr, _ = b.node(tree, soft, safe=False, need_hard=True)
+    half = hr.shape[0]
+    hard_ref[pl.ds(0, half), :] = (hl * hr).astype(hard_ref.dtype)
+    hard_ref[pl.ds(half, half), :] = hr.astype(hard_ref.dtype)
+
+
+def _ssa_subtree_kernel_g_cw(tree: Node, compute_dtype, psoft_ref,
+                             hardl_ref, cwl_ref, mesg_ref, hard_ref,
+                             cw_ref):
+    b = _SsaBuilder(mesg_ref, compute_dtype)
+    hl, soft = _gfused_child_soft(psoft_ref, hardl_ref, compute_dtype)
+    hr, cwr = b.node(tree, soft, safe=False, need_hard=True, need_cw=True)
+    half = hr.shape[0]
+    cwl = cwl_ref[...].astype(compute_dtype)
+    hard_ref[pl.ds(0, half), :] = (hl * hr).astype(hard_ref.dtype)
+    hard_ref[pl.ds(half, half), :] = hr.astype(hard_ref.dtype)
+    cw_ref[pl.ds(0, half), :] = (cwl * cwr).astype(cw_ref.dtype)
+    cw_ref[pl.ds(half, half), :] = cwr.astype(cw_ref.dtype)
+
+
+def _ssa_subtree_kernel_g_cw_nou(tree: Node, compute_dtype, psoft_ref,
+                                 hardl_ref, cwl_ref, hard_ref, cw_ref):
+    b = _SsaBuilder(None, compute_dtype)
+    hl, soft = _gfused_child_soft(psoft_ref, hardl_ref, compute_dtype)
+    hr, cwr = b.node(tree, soft, safe=False, need_hard=True, need_cw=True)
+    half = hr.shape[0]
+    cwl = cwl_ref[...].astype(compute_dtype)
+    hard_ref[pl.ds(0, half), :] = (hl * hr).astype(hard_ref.dtype)
+    hard_ref[pl.ds(half, half), :] = hr.astype(hard_ref.dtype)
+    cw_ref[pl.ds(0, half), :] = (cwl * cwr).astype(cw_ref.dtype)
+    cw_ref[pl.ds(half, half), :] = cwr.astype(cw_ref.dtype)
+
+
 def _decoder_kernel(tree: Node, n: int, compute_dtype, llr_ref, mesg_ref,
                     soft, hard):
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
@@ -516,7 +569,7 @@ def make_subtree_decoder(
     emit_cw: bool = False,
     emit_u: bool = True,
     layout: str = "frame",
-    fuse_f: bool = False,
+    fuse: str | None = None,
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -546,11 +599,21 @@ def make_subtree_decoder(
     ``(len, B)`` directly — the zero-transpose path used by the
     lane-major hybrid decoder.
 
-    ``fuse_f`` (SSA only): the kernel's input is the PARENT node's soft
-    slot (``2*len`` rows) and the parent's f op runs in-kernel feeding
-    the subtree via the cached-abs handoff — one fewer XLA pass per
-    left-descend call site, and the f itself gets the exact abs elision.
-    Bit-exact (the fused f is op-identical to the XLA f).
+    ``fuse`` (SSA only):
+
+    * ``"f"`` — the kernel's input is the PARENT node's soft slot
+      (``2*len`` rows) and the parent's f op runs in-kernel feeding the
+      subtree via the cached-abs handoff — one fewer XLA pass per
+      left-descend call site, and the fused f gets the exact abs
+      elision. Same outputs as unfused.
+    * ``"g"`` — right-child fusion: inputs are the parent's soft slot
+      (``2*len`` rows) plus the left child's hard estimate (``len``
+      rows; plus its cw block when ``emit_cw``); the parent's g AND
+      combine run in-kernel, and the hard/cw outputs are the PARENT's
+      combined ``2*len``-row blocks — the enclosing XLA level keeps
+      nothing but routing.
+
+    Both are bit-exact (the fused ops are op-identical to the XLA ones).
     """
     n = 1 << tree.level
     k = tree.mesg_bits
@@ -558,17 +621,27 @@ def make_subtree_decoder(
         raise ValueError("kernelize only nodes that emit message bits")
     if not emit_u and not (style == "ssa" and emit_cw):
         raise ValueError("emit_u=False requires the SSA style with emit_cw")
-    if fuse_f and style != "ssa":
-        raise ValueError("fuse_f requires the SSA kernel style")
-    in_rows = 2 * n if fuse_f else n
+    if fuse not in (None, "f", "g"):
+        raise ValueError(f"unknown fuse mode {fuse!r}")
+    if fuse and style != "ssa":
+        raise ValueError("fuse requires the SSA kernel style")
+    scratch_shapes = []
     if style == "ssa":
-        if emit_cw:
-            body = _ssa_subtree_kernel_cw if emit_u \
-                else _ssa_subtree_kernel_cw_nou
+        if fuse == "g":
+            if emit_cw:
+                body = _ssa_subtree_kernel_g_cw if emit_u \
+                    else _ssa_subtree_kernel_g_cw_nou
+            else:
+                body = _ssa_subtree_kernel_g
+            kernel = functools.partial(body, tree, compute_dtype)
         else:
-            body = _ssa_subtree_kernel
-        kernel = functools.partial(body, tree, compute_dtype, fuse_f)
-        scratch_shapes = []
+            if emit_cw:
+                body = _ssa_subtree_kernel_cw if emit_u \
+                    else _ssa_subtree_kernel_cw_nou
+            else:
+                body = _ssa_subtree_kernel
+            kernel = functools.partial(body, tree, compute_dtype,
+                                       fuse == "f")
     elif style == "scratch":
         if emit_cw:
             raise ValueError("emit_cw requires the SSA kernel style")
@@ -580,17 +653,27 @@ def make_subtree_decoder(
     else:
         raise ValueError(f"unknown kernel style {style!r}")
 
-    out_rows = ((k,) if emit_u else ()) + (n, n)[:1 + bool(emit_cw)]
+    # input row counts: parent soft for fused modes; g adds the left
+    # child's hard (and cw) blocks
+    if fuse == "g":
+        in_rows = (2 * n, n) + ((n,) if emit_cw else ())
+    elif fuse == "f":
+        in_rows = (2 * n,)
+    else:
+        in_rows = (n,)
+    o = 2 * n if fuse == "g" else n   # hard/cw outputs are combined for g
+    out_rows = ((k,) if emit_u else ()) + (o, o)[:1 + bool(emit_cw)]
 
-    def call(soft_t):  # (in_rows, B) element-major
+    def call(*arrs_t):  # element-major (rows, B) arrays
         bt = frame_tile
-        grid = soft_t.shape[1] // bt
+        grid = arrs_t[0].shape[1] // bt
         return pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((in_rows, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+                for rows in in_rows
             ],
             out_specs=tuple(
                 pl.BlockSpec((rows, bt), lambda i: (0, i),
@@ -598,7 +681,7 @@ def make_subtree_decoder(
                 for rows in out_rows
             ),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((rows, soft_t.shape[1]), jnp.int8)
+                jax.ShapeDtypeStruct((rows, arrs_t[0].shape[1]), jnp.int8)
                 for rows in out_rows
             ),
             scratch_shapes=scratch_shapes,
@@ -607,29 +690,30 @@ def make_subtree_decoder(
                 if interpret else ("parallel",),
             ),
             interpret=interpret,
-        )(soft_t)
+        )(*arrs_t)
 
     if layout == "lane":
-        def decode_lane(soft_t):
-            if soft_t.shape[0] != in_rows or soft_t.shape[1] % frame_tile:
-                raise ValueError(
-                    f"lane layout expects (len={in_rows}, B) with B a "
-                    f"multiple of frame_tile {frame_tile}, got "
-                    f"{soft_t.shape}"
-                )
-            return call(soft_t)
+        def decode_lane(*arrs_t):
+            for a, rows in zip(arrs_t, in_rows):
+                if a.shape[0] != rows or a.shape[1] % frame_tile:
+                    raise ValueError(
+                        f"lane layout expects {in_rows}-row inputs with B "
+                        f"a multiple of frame_tile {frame_tile}, got "
+                        f"{[x.shape for x in arrs_t]}"
+                    )
+            return call(*arrs_t)
 
         return decode_lane
     if layout != "frame":
         raise ValueError(f"unknown layout {layout!r}")
 
-    def decode(soft):
-        if soft.shape[0] % frame_tile:
+    def decode(*arrs):
+        if arrs[0].shape[0] % frame_tile:
             raise ValueError(
-                f"batch {soft.shape[0]} not a multiple of frame_tile "
+                f"batch {arrs[0].shape[0]} not a multiple of frame_tile "
                 f"{frame_tile} (pad the batch once at the top level)"
             )
-        return tuple(o.T for o in call(soft.T))
+        return tuple(o.T for o in call(*(a.T for a in arrs)))
 
     return decode
 

@@ -385,7 +385,7 @@ def stage_decodecount(m=13, batch=4096):
 
 def stage_fusef(ms=(14, 15, 16)):
     """Parent-f fusion A/B: hybrid kl13-t128 with and without
-    kernel_fuse_f (the boundary-level f's absorbed into the kernels),
+    kernel_fuse (the boundary f/g/comb absorbed into the kernels),
     output=u frame-major (the THROUGHPUT-table config)."""
     import jax.numpy as jnp
 
@@ -399,7 +399,7 @@ def stage_fusef(ms=(14, 15, 16)):
             measure(f"m{m}-hybrid-fusef{int(fuse)}",
                     lambda f=fuse, c=code: pt.make_fastssc_decoder(
                         c, output_dtype=jnp.int8, kernel_level=13,
-                        kernel_frame_tile=128, kernel_fuse_f=f),
+                        kernel_frame_tile=128, kernel_fuse=f),
                     llrs, iters=16)
 
 

@@ -33,7 +33,7 @@ _SLOW = {
     "test_hybrid_lane_major_matches_frame_major",
     "test_hybrid_lane_major_pads_batch", "test_hybrid_autopad_matches_xla_small",
     "test_hybrid_matches_xla", "test_hybrid_systematic_output",
-    "test_hybrid_fuse_f_matches_plain",
+    "test_hybrid_fuse_matches_plain",
     "test_hybrid_kernel_cache_shared",
     "test_hybrid_scratch_style_systematic_still_works",
     # fused step / front kernels

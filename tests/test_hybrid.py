@@ -35,8 +35,8 @@ def test_hybrid_matches_xla(m, klevel, style):
 
 @pytest.mark.parametrize("output", ["u", "systematic"])
 @pytest.mark.parametrize("m,klevel", [(8, 5), (9, 6)])
-def test_hybrid_fuse_f_matches_plain(m, klevel, output):
-    """kernel_fuse_f=True (parent f absorbed into kernel-eligible left
+def test_hybrid_fuse_matches_plain(m, klevel, output):
+    """kernel_fuse=True (parent f/g/comb absorbed into kernel-eligible left
     children) must be bit-exact with the unfused hybrid and the XLA
     path — in BOTH layouts (the lane_major entry takes the fused
     kernels' 2x-row inputs too)."""
@@ -46,7 +46,7 @@ def test_hybrid_fuse_f_matches_plain(m, klevel, output):
         code, output=output, output_dtype=jnp.int8))(llr))
     fused = make_fastssc_decoder(
         code, output=output, output_dtype=jnp.int8, kernel_level=klevel,
-        kernel_frame_tile=128, kernel_interpret=True, kernel_fuse_f=True)
+        kernel_frame_tile=128, kernel_interpret=True, kernel_fuse=True)
     np.testing.assert_array_equal(np.asarray(jax.jit(fused)(llr)), ref)
     lane = np.asarray(jax.jit(fused.lane_major)(llr.T))
     np.testing.assert_array_equal(lane.T, ref)
