@@ -271,6 +271,7 @@ def make_fastssc_decoder(
     kernel_interpret: bool = False,
     kernel_style: str = "ssa",
     kernel_fuse: bool = False,
+    kernel_vmem_limit_mb: int | None = None,
 ):
     """Build a jittable Fast-SSC decoder specialized for ``code``.
 
@@ -369,6 +370,7 @@ def make_fastssc_decoder(
                         emit_u=kernel_emit_u,
                         layout=layout,
                         fuse=fuse,
+                        vmem_limit_mb=kernel_vmem_limit_mb,
                     ))
                 return cache[key]
 

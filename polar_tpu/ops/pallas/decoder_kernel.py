@@ -570,6 +570,7 @@ def make_subtree_decoder(
     emit_u: bool = True,
     layout: str = "frame",
     fuse: str | None = None,
+    vmem_limit_mb: int | None = None,
 ):
     """Pallas kernel for ONE pruned-tree node: used by the hybrid decoder.
 
@@ -688,6 +689,11 @@ def make_subtree_decoder(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
                 if interpret else ("parallel",),
+                # raises (or caps) Mosaic's scoped-VMEM budget — the
+                # default 16M limit is below the physical VMEM and the
+                # fused kl13-t128 kernels need ~18M (receipt fusef1)
+                vmem_limit_bytes=(vmem_limit_mb << 20)
+                if vmem_limit_mb else None,
             ),
             interpret=interpret,
         )(*arrs_t)
@@ -729,6 +735,7 @@ def make_pallas_decoder(
     interpret: bool = False,
     style: str = "scratch",
     output: str = "u",
+    vmem_limit_mb: int | None = None,
 ):
     """Build the Pallas Fast-SSC decoder: LLRs ``(B, N)`` int8 → u ``(B, K)``.
 
@@ -805,6 +812,8 @@ def make_pallas_decoder(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)
                 if interpret else ("parallel",),
+                vmem_limit_bytes=(vmem_limit_mb << 20)
+                if vmem_limit_mb else None,
             ),
             interpret=interpret,
         )(llr_t)

@@ -431,21 +431,26 @@ def make_pallas_step(
     return step_native
 
 
-def _decode_count_kernel(tree, frozen_col, cdtype, llr_ref, cw_ref, out_ref):
+def _decode_count_kernel(tree, frozen_col, cdtype, wide, llr_ref, cw_ref,
+                         out_ref):
     """Decode + the testbench counters as ONE kernel: the back half of
     the zero-transpose front path. Removes the XLA counter reductions
     AND the (N, B) cw_hat HBM round trip — the decoder's codeword
-    estimate is consumed in VMEM by the counter epilogue."""
+    estimate is consumed in VMEM by the counter epilogue.
+
+    ``wide``: route the counter compares through f32 — at m >= 13 the
+    kernel's larger value-concat layout trips the same Mosaic "Target
+    does not support this comparison" rejection of int8 compares the
+    nonsystematic kernels hit (counts are dtype-independent)."""
     llr8 = llr_ref[...]
     cw8 = cw_ref[...]
     b = _SsaBuilder(None, cdtype)
     cw_hat = b.node(tree, llr8.astype(cdtype), safe=False,
                     need_hard=False, need_cw=True)[1]
     info_col = jnp.float32(1.0) - _const_col(frozen_col)
-    # counters compare in int8 (llr/cw/cw_hat are int8-exact values) so
-    # no widened copies outlive the decode body
-    _count_and_store(out_ref, llr8, cw8, cw_hat.astype(jnp.int8), cw8,
-                     info_col)
+    hat8 = cw_hat if wide else cw_hat.astype(jnp.int8)
+    ref8 = cw8.astype(cw_hat.dtype) if wide else cw8
+    _count_and_store(out_ref, llr8, cw8, hat8, ref8, info_col, wide=wide)
 
 
 def make_pallas_decode_count(
@@ -455,6 +460,7 @@ def make_pallas_decode_count(
     frame_tile: int = 128,
     compute_dtype=jnp.float32,
     interpret: bool = False,
+    wide: bool | None = None,
 ):
     """Build ``count(llr_t, cw_t) -> counter dict``: whole-code SSA
     decode fused with the Monte-Carlo counters (``testbench.cc:185-192``
@@ -470,8 +476,10 @@ def make_pallas_decode_count(
     if frame_tile % 128:
         raise ValueError("frame_tile must be a multiple of 128")
     frozen_col = np.asarray(code.frozen, np.float32).reshape(n, 1)
+    if wide is None:
+        wide = code.level >= 13
     kernel = functools.partial(_decode_count_kernel, tree, frozen_col,
-                               compute_dtype)
+                               compute_dtype, wide)
 
     def count(llr_t, cw_t):
         if llr_t.shape != cw_t.shape or llr_t.shape[0] != n:

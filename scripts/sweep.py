@@ -384,9 +384,11 @@ def stage_decodecount(m=13, batch=4096):
 
 
 def stage_fusef(ms=(14, 15, 16)):
-    """Parent-f fusion A/B: hybrid kl13-t128 with and without
+    """Boundary-fusion A/B: hybrid kl13-t128 with and without
     kernel_fuse (the boundary f/g/comb absorbed into the kernels),
-    output=u frame-major (the THROUGHPUT-table config)."""
+    output=u frame-major (the THROUGHPUT-table config). The fused
+    kernels need ~18M scoped VMEM (the doubled input block), so the
+    fused variant raises the Mosaic budget past the default 16M."""
     import jax.numpy as jnp
 
     import polar_tpu as pt
@@ -395,12 +397,32 @@ def stage_fusef(ms=(14, 15, 16)):
         batch = max(256, (1 << 25) // (1 << m))
         code = pt.make_code(m, rate=0.5)
         llrs = llr_batch(code, batch)
-        for fuse in (False, True):
-            measure(f"m{m}-hybrid-fusef{int(fuse)}",
-                    lambda f=fuse, c=code: pt.make_fastssc_decoder(
+        for fuse, vmem in ((False, None), (True, 32), (True, 64)):
+            measure(f"m{m}-hybrid-fusef{int(fuse)}-v{vmem or 16}",
+                    lambda f=fuse, v=vmem, c=code: pt.make_fastssc_decoder(
                         c, output_dtype=jnp.int8, kernel_level=13,
-                        kernel_frame_tile=128, kernel_fuse=f),
+                        kernel_frame_tile=128, kernel_fuse=f,
+                        kernel_vmem_limit_mb=v),
                     llrs, iters=16)
+
+
+def stage_vmemprobe():
+    """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
+    this chip? Whole-code SSA kernels at sizes known to OOM at the
+    default limit: N=16384 t128 (the r2 receipt says live set > 16M) at
+    32/64/96M budgets."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    code = pt.make_code(14, rate=0.5)
+    llrs = llr_batch(code, 2048)
+    for v in (None, 32, 64, 96):
+        measure(f"m14-wholecode-ssa-t128-v{v or 16}",
+                lambda vv=v: pt.make_pallas_decoder(
+                    code, frame_tile=128, compute_dtype=jnp.float32,
+                    style="ssa", vmem_limit_mb=vv),
+                llrs, iters=16)
 
 
 def stage_lanemajor(ms=(14, 15, 16, 17)):
@@ -506,6 +528,7 @@ STAGES = {
     "steprate": stage_steprate,
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
+    "vmemprobe": stage_vmemprobe,
 }
 
 
@@ -513,6 +536,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", help="stage name")
     ap.add_argument("--list", action="store_true", help="list stages")
+    ap.add_argument("--ms", type=str, default=None,
+                    help="comma-separated m list for stages taking ms=")
+    ap.add_argument("--m", type=int, default=None,
+                    help="single m for stages taking m=")
+    ap.add_argument("--non-systematic", action="store_true",
+                    help="systematic=False for stages taking systematic=")
     args = ap.parse_args()
     if args.list or not args.stage:
         for name in STAGES:
@@ -521,7 +550,18 @@ def main():
     from polar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    STAGES[args.stage]()
+    import inspect
+
+    fn = STAGES[args.stage]
+    params = inspect.signature(fn).parameters
+    kw = {}
+    if args.ms is not None and "ms" in params:
+        kw["ms"] = tuple(int(x) for x in args.ms.split(","))
+    if args.m is not None and "m" in params:
+        kw["m"] = args.m
+    if args.non_systematic and "systematic" in params:
+        kw["systematic"] = False
+    fn(**kw)
     return 0
 
 

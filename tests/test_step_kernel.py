@@ -288,6 +288,13 @@ def test_decode_count_kernel_matches_xla_counter_math():
     cw_t = pt.encode_systematic(code, msg).T
     count = make_pallas_decode_count(code, frame_tile=128, interpret=True)
     got = {k: int(v) for k, v in count(llr_t, cw_t).items()}
+    # the wide (f32-compare) variant — what m>=13 codes compile on TPU
+    # (Mosaic rejects int8 compares on the larger concat layouts) — must
+    # count identically
+    wide = make_pallas_decode_count(code, frame_tile=128, interpret=True,
+                                    wide=True)
+    got_wide = {k: int(v) for k, v in wide(llr_t, cw_t).items()}
+    assert got_wide == got
     dec = make_pallas_decoder(code, frame_tile=128, style="ssa",
                               output="codeword", output_dtype=jnp.int8,
                               interpret=True)
