@@ -60,6 +60,17 @@ _N_COUNTERS = 5  # uncorrected, frame, ambiguity, awgn, quant-zero
 _GOLDEN = -1640531527  # 0x9E3779B9 as int32: odd, well-spread multiplier
 
 
+def _cparams(sem, vmem_limit_mb=None):
+    """CompilerParams with an optionally raised Mosaic scoped-VMEM
+    budget — the default 16M is below the chip's physical VMEM
+    (receipt ``m14-wholecode-ssa-t128-v32``: a 22.9M kernel compiles
+    and runs fine at a 32M budget)."""
+    return pltpu.CompilerParams(
+        dimension_semantics=sem,
+        vmem_limit_bytes=(vmem_limit_mb << 20) if vmem_limit_mb else None,
+    )
+
+
 def _key_seeds(key):
     """JAX PRNG key (or raw (2,) uint32 key data) → two int32 seed words
     for the in-kernel hardware PRNG. Shared by every PRNG kernel so the
@@ -317,6 +328,7 @@ def make_pallas_step(
     interpret: bool = False,
     prng: str = "native",
     systematic: bool = True,
+    vmem_limit_mb: int | None = None,
 ):
     """Build the fused Monte-Carlo step: ``step(key, snr_db, batch)`` →
     the counter dict of :func:`polar_tpu.ber.make_step_body`. ``batch``
@@ -353,9 +365,7 @@ def make_pallas_step(
             # run serially on one core, so the shared block is safe)
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+            compiler_params=_cparams(("arbitrary",), vmem_limit_mb),
             interpret=interpret,
         )(*ins)
 
@@ -461,6 +471,7 @@ def make_pallas_decode_count(
     compute_dtype=jnp.float32,
     interpret: bool = False,
     wide: bool | None = None,
+    vmem_limit_mb: int | None = None,
 ):
     """Build ``count(llr_t, cw_t) -> counter dict``: whole-code SSA
     decode fused with the Monte-Carlo counters (``testbench.cc:185-192``
@@ -499,9 +510,7 @@ def make_pallas_decode_count(
             # make_pallas_step: sub-(8,128) output blocks don't lower)
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
+            compiler_params=_cparams(("arbitrary",), vmem_limit_mb),
             interpret=interpret,
         )(llr_t, cw_t)
         t = jnp.sum(out, axis=0)
@@ -543,6 +552,7 @@ def make_pallas_front(
     frame_tile: int = 128,
     interpret: bool = False,
     prng: str = "native",
+    vmem_limit_mb: int | None = None,
 ):
     """The Monte-Carlo step's FRONT half as one kernel: random message
     (u-domain draw, frozen rows pinned), systematic encode, AWGN,
@@ -572,10 +582,9 @@ def make_pallas_front(
             out_specs=(blk(), blk()),
             out_shape=(jax.ShapeDtypeStruct((n, batch), jnp.int8),
                        jax.ShapeDtypeStruct((n, batch), jnp.int8)),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)
-                if interpret else ("parallel",),
-            ),
+            compiler_params=_cparams(
+                ("arbitrary",) if interpret else ("parallel",),
+                vmem_limit_mb),
             interpret=interpret,
         )(*ins)
 
@@ -695,6 +704,7 @@ def make_pallas_front_blocks(
     interpret: bool = False,
     prng: str = "native",
     systematic: bool = True,
+    vmem_limit_mb: int | None = None,
 ):
     """Large-N Monte-Carlo front: :func:`make_pallas_front`'s chain as
     block-local kernels around a thin element-major XLA middle.
@@ -793,8 +803,7 @@ def make_pallas_front_blocks(
             out_specs=pl.BlockSpec((blk_a, frame_tile), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((blk_a, batch), jnp.int8),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=sem),
+            compiler_params=_cparams(sem, vmem_limit_mb),
             interpret=interpret,
         )(*ins)
 
@@ -829,8 +838,7 @@ def make_pallas_front_blocks(
             out_specs=(b_blk(), b_blk()),
             out_shape=(jax.ShapeDtypeStruct((n, batch), jnp.int8),
                        jax.ShapeDtypeStruct((n, batch), jnp.int8)),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=sem2),
+            compiler_params=_cparams(sem2, vmem_limit_mb),
             interpret=interpret,
         )(*ins)
 

@@ -406,6 +406,78 @@ def stage_fusef(ms=(14, 15, 16)):
                     llrs, iters=16)
 
 
+def stage_vmem2():
+    """Exploit the raised VMEM budget (vmemprobe receipts: 32-96M
+    budgets accepted, a 22.9M m14 whole-code kernel runs at 1.82M fps >
+    the hybrid's 1.81M):
+
+    * m15 whole-code (live ~45.7M) at v64/v96/v110 — the definitive
+      physical-VMEM probe;
+    * m16 whole-code (~91M) at v110 — expected to find the ceiling;
+    * m14 whole-code fused-cw + decode_count at v64 — the front path's
+      decode at m14;
+    * the fused STEP kernel at m13 (needed ~20.1M, r2 OOM receipt) and
+      m14 — the whole Monte-Carlo chain in one kernel at large N.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import (make_pallas_decode_count,
+                                                  make_pallas_front_blocks,
+                                                  make_pallas_step)
+
+    code15 = pt.make_code(15, rate=0.5)
+    llrs15 = llr_batch(code15, 1024)
+    for v in (64, 96, 110):
+        if measure(f"m15-wholecode-ssa-t128-v{v}",
+                   lambda vv=v, c=code15: pt.make_pallas_decoder(
+                       c, frame_tile=128, compute_dtype=jnp.float32,
+                       style="ssa", vmem_limit_mb=vv),
+                   llrs15, iters=16):
+            break
+    code16 = pt.make_code(16, rate=0.5)
+    measure("m16-wholecode-ssa-t128-v110",
+            lambda: pt.make_pallas_decoder(
+                code16, frame_tile=128, compute_dtype=jnp.float32,
+                style="ssa", vmem_limit_mb=110),
+            llr_batch(code16, 512), iters=16)
+
+    code14 = pt.make_code(14, rate=0.5)
+    measure("m14-wholecode-cw-t128-v64",
+            lambda: pt.make_pallas_decoder(
+                code14, frame_tile=128, compute_dtype=jnp.float32,
+                style="ssa", output="codeword", vmem_limit_mb=64),
+            llr_batch(code14, 2048), iters=16)
+
+    # decode_count at m14 on real front outputs
+    front = make_pallas_front_blocks(code14, frame_tile=128,
+                                     block_level=13, systematic=True)
+    llr_t, cw_t = jax.jit(lambda k: front(k, 0.5, 2048))(
+        jax.random.PRNGKey(5))
+
+    def perturbed(k, a):
+        d = jax.random.key_data(k).reshape(-1)[0].astype(jnp.int8)
+        return a + d
+
+    dc = make_pallas_decode_count(code14, frame_tile=128, vmem_limit_mb=64)
+    measure_keyed("m14-decodecount-t128-v64",
+                  lambda k, f=dc, a=llr_t, b=cw_t: f(perturbed(k, a), b),
+                  2048)
+
+    # the fused whole-chain step kernel above its old N=4096 ceiling
+    for m, batch, v in ((13, 4096, 48), (14, 2048, 96)):
+        code = pt.make_code(m, rate=0.5)
+
+        def run(mm=m, bb=batch, vv=v, cc=code):
+            step = make_pallas_step(cc, frame_tile=128, vmem_limit_mb=vv)
+            sj = jax.jit(lambda k: step(k, 0.5, bb))
+            return measure_keyed(f"m{mm}-stepkernel-t128-v{vv}",
+                                 lambda k: sj(k), bb)
+
+        guard(f"m{m}-stepkernel-t128-v{v}", run)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -529,6 +601,7 @@ STAGES = {
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
+    "vmem2": stage_vmem2,
 }
 
 
