@@ -150,10 +150,14 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 interpret=rng_interpret, prng=kprng, systematic=systematic)
             if systematic and code.level <= _DECODE_COUNT_MAX_LEVEL:
                 # block front + whole-code decode+count kernel: no
-                # cw_hat HBM round trip, no XLA counter pass
+                # cw_hat HBM round trip, no XLA counter pass. At m13 the
+                # kernel's live set is 17.6M — raise the Mosaic budget
+                # past its 16M default (receipt m13-decodecount OOM +
+                # vmemprobe: physical VMEM is far larger)
                 from .ops.pallas.step_kernel import make_pallas_decode_count
                 decode_count = make_pallas_decode_count(
-                    code, frame_tile=128, interpret=rng_interpret)
+                    code, frame_tile=128, interpret=rng_interpret,
+                    vmem_limit_mb=32 if code.level >= 13 else None)
             else:
                 kl, ktile = _front_decode_cfg(code.level)
                 front_dec = make_fastssc_decoder(

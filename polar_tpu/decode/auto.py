@@ -32,6 +32,12 @@ _TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
 _HYBRID_MIN_LEVEL = 14       # whole-code SSA live set exceeds VMEM above this
 _HYBRID_KERNEL_LEVEL = 13    # kl13-t128 won at every m=14..18 (r2 ladder2)
 _HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
+# boundary f/g/comb fusion wins where the XLA top is deep (r3 receipts
+# m17-hybrid-fusef1-v32: 123.6K vs 118.7K unfused, +4.2%; m16 +1.6%;
+# m14 it LOSES — the doubled input blocks cost more than the one saved
+# pass there). The fused kernels need a >16M Mosaic VMEM budget.
+_HYBRID_FUSE_MIN_LEVEL = 16
+_HYBRID_FUSE_VMEM_MB = 32
 
 
 def make_auto_decoder(code: PolarCode, *, output: str = "u",
@@ -53,12 +59,19 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
             "xla",
         )
     if code.level >= _HYBRID_MIN_LEVEL:
+        # fusion adopted for the u-output mode the receipts measured;
+        # the cw-track fused kernels carry extra in/out blocks whose
+        # VMEM ceiling is not yet receipted — they stay unfused
+        fuse = code.level >= _HYBRID_FUSE_MIN_LEVEL and output == "u"
         dec = make_fastssc_decoder(
             code, output=output, output_dtype=output_dtype,
             kernel_level=_HYBRID_KERNEL_LEVEL,
             kernel_frame_tile=_HYBRID_TILE,
+            kernel_fuse=fuse,
+            kernel_vmem_limit_mb=_HYBRID_FUSE_VMEM_MB if fuse else None,
         )
-        return dec, f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
+        return dec, (f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
+                     + ("-fused" if fuse else ""))
     tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
     from ..ops.pallas.decoder_kernel import make_pallas_decoder
 

@@ -377,7 +377,8 @@ def stage_decodecount(m=13, batch=4096):
         return a + d
 
     for tile in (128, 256):
-        dc = make_pallas_decode_count(code, frame_tile=tile)
+        dc = make_pallas_decode_count(code, frame_tile=tile,
+                                      vmem_limit_mb=32 if m >= 13 else None)
         measure_keyed(f"m{m}-decodecount-t{tile}",
                       lambda k, f=dc, a=llr_t, b=cw_t: f(perturbed(k, a), b),
                       batch)
@@ -476,6 +477,30 @@ def stage_vmem2():
                                  lambda k: sj(k), bb)
 
         guard(f"m{m}-stepkernel-t128-v{v}", run)
+
+
+def stage_klladder(ms=(15, 16, 17, 18)):
+    """Hybrid kernel-level ladder UNDER A RAISED VMEM BUDGET: the r2
+    ladder stopped at kl13 because kl14's body exceeded the 16M default
+    — a false wall (vmemprobe). kl14-t128 needs ~23M, kl15-t128 ~46M;
+    each extra level halves the XLA top's depth."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        cfgs = [(14, 32), (14, 48)]
+        if m >= 16:
+            cfgs.append((15, 64))
+        for kl, v in cfgs:
+            measure(f"m{m}-hybrid-kl{kl}-t128-v{v}",
+                    lambda k=kl, vv=v, c=code: pt.make_fastssc_decoder(
+                        c, output_dtype=jnp.int8, kernel_level=k,
+                        kernel_frame_tile=128, kernel_vmem_limit_mb=vv),
+                    llrs, iters=16)
 
 
 def stage_vmemprobe():
@@ -602,6 +627,7 @@ STAGES = {
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
     "vmem2": stage_vmem2,
+    "klladder": stage_klladder,
 }
 
 
