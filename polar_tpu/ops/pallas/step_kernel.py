@@ -245,7 +245,7 @@ def _front(frozen_col, params_ref, msg_sym, normals, systematic=True):
     return llr, cw, u0, info_col
 
 
-def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
+def _chain(tree, frozen_col, cdtype, systematic, wide, params_ref, out_ref,
            msg_sym, normals):
     """encode → channel → quantize → decode → count, given the message
     symbols and normals (however they were drawn).
@@ -262,13 +262,20 @@ def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
     # ref8 narrowed BEFORE the decode too, so no f32 front array
     # survives into the decode body in either mode
     ref8 = cw8 if systematic else u0.astype(jnp.int8)
+    wide = wide or not systematic
     b = _SsaBuilder(None, cdtype, collect_u=not systematic)
     if systematic:
         # decode with the codeword-estimate track only; errors compare
-        # cw_hat vs cw at info rows (the message IS those rows)
+        # cw_hat vs cw at info rows (the message IS those rows). At
+        # m >= 13 the compares run wide (f32): Mosaic rejects int8
+        # compares over the larger concat layouts there (the same
+        # rejection the nonsystematic path always works around)
         hat = b.node(tree, llr8.astype(cdtype), safe=False,
                      need_hard=False, need_cw=True)[1]
-        hat_c, ref_c = hat.astype(jnp.int8), ref8
+        if wide:
+            hat_c, ref_c = hat, ref8.astype(hat.dtype)
+        else:
+            hat_c, ref_c = hat.astype(jnp.int8), ref8
     else:
         # u-domain leaf estimate vs the drawn u-domain message (frozen
         # rows are +1 on both sides). hat stays in the compute dtype:
@@ -282,19 +289,18 @@ def _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
                need_hard=False, need_cw=False)
         hat_c = b.u_full()
         ref_c = ref8.astype(hat_c.dtype)
-    _count_and_store(out_ref, llr8, cw8, hat_c, ref_c, info_col,
-                     wide=not systematic)
+    _count_and_store(out_ref, llr8, cw8, hat_c, ref_c, info_col, wide=wide)
 
 
-def _step_kernel_bits(tree, n, frozen_col, cdtype, systematic, params_ref,
-                      bits_ref, out_ref):
+def _step_kernel_bits(tree, n, frozen_col, cdtype, systematic, wide,
+                      params_ref, bits_ref, out_ref):
     bits = bits_ref[...]
-    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
+    _chain(tree, frozen_col, cdtype, systematic, wide, params_ref, out_ref,
            _bits_to_sym(bits[n:]), _bits_to_normals(bits[:n]))
 
 
-def _step_kernel_native(tree, n, frozen_col, cdtype, systematic, frame_tile,
-                        params_ref, seed_ref, out_ref):
+def _step_kernel_native(tree, n, frozen_col, cdtype, systematic, wide,
+                        frame_tile, params_ref, seed_ref, out_ref):
     # 2-operand seed only: this Mosaic rejects a 3rd prng_set_seed_32
     # operand, so the grid index is mixed into the second word (golden-
     # ratio odd multiplier — distinct, well-spread stream per tile)
@@ -302,13 +308,13 @@ def _step_kernel_native(tree, n, frozen_col, cdtype, systematic, frame_tile,
     pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ pid_mix)
     noise_bits = _random_u32((n, frame_tile))
     msg_bits = _random_u32((n, frame_tile))
-    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
+    _chain(tree, frozen_col, cdtype, systematic, wide, params_ref, out_ref,
            _bits_to_sym(msg_bits), _bits_to_normals(noise_bits))
 
 
-def _step_kernel_inject(tree, frozen_col, cdtype, systematic, params_ref,
-                        msg_ref, normal_ref, out_ref):
-    _chain(tree, frozen_col, cdtype, systematic, params_ref, out_ref,
+def _step_kernel_inject(tree, frozen_col, cdtype, systematic, wide,
+                        params_ref, msg_ref, normal_ref, out_ref):
+    _chain(tree, frozen_col, cdtype, systematic, wide, params_ref, out_ref,
            msg_ref[...].astype(jnp.float32), normal_ref[...])
 
 
@@ -329,6 +335,7 @@ def make_pallas_step(
     prng: str = "native",
     systematic: bool = True,
     vmem_limit_mb: int | None = None,
+    wide: bool | None = None,
 ):
     """Build the fused Monte-Carlo step: ``step(key, snr_db, batch)`` →
     the counter dict of :func:`polar_tpu.ber.make_step_body`. ``batch``
@@ -381,9 +388,11 @@ def make_pallas_step(
 
     params_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    if wide is None:
+        wide = code.level >= 13
     if prng == "inject":
         kernel = functools.partial(_step_kernel_inject, tree, frozen_col,
-                                   compute_dtype, systematic)
+                                   compute_dtype, systematic, wide)
 
         def step_inject(msg_sym_t, normals_t, snr_db):
             if msg_sym_t.shape != (n, normals_t.shape[1]) or \
@@ -407,7 +416,7 @@ def make_pallas_step(
 
     if prng == "bits":
         kernel = functools.partial(_step_kernel_bits, tree, n, frozen_col,
-                                   compute_dtype, systematic)
+                                   compute_dtype, systematic, wide)
 
         def step_bits(key, snr_db, batch: int):
             if batch % frame_tile:
@@ -425,7 +434,7 @@ def make_pallas_step(
         return step_bits
 
     kernel = functools.partial(_step_kernel_native, tree, n, frozen_col,
-                               compute_dtype, systematic, frame_tile)
+                               compute_dtype, systematic, wide, frame_tile)
 
     def step_native(key, snr_db, batch: int):
         if batch % frame_tile:

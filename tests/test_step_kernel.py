@@ -133,6 +133,21 @@ def test_bits_mode_equals_inject_of_derived_values():
         {k: int(v) for k, v in b.items()}
 
 
+def test_step_kernel_wide_counters_match_narrow():
+    """The wide (f32) counter-compare variant — what systematic step
+    kernels compile at m >= 13, where Mosaic rejects int8 compares over
+    the larger concat layouts — must count bit-identically to the
+    narrow form on the same bit streams."""
+    code = pt.make_code(8, rate=0.5)
+    key = jax.random.PRNGKey(11)
+    a = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="bits", wide=False)(key, -1.0, 256)
+    b = make_pallas_step(code, frame_tile=128, interpret=True,
+                         prng="bits", wide=True)(key, -1.0, 256)
+    assert {k: int(v) for k, v in a.items()} == \
+        {k: int(v) for k, v in b.items()}
+
+
 def test_bits_to_unit_range_and_mean():
     bits = jax.random.bits(jax.random.PRNGKey(1), (1 << 18,), jnp.uint32)
     u = np.asarray(_bits_to_unit(bits))
