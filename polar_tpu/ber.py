@@ -73,10 +73,12 @@ class CampaignResult:
 _FRONT_WHOLE_MAX_LEVEL = 12   # make_pallas_front / whole-code SSA ceiling
 _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
 # decode+count fusion ceiling: the whole-code SSA decode_count kernel
-# (no front live set — lighter than the step kernel that OOM'd at m13)
-# compiles and wins at m13-t128 (receipt m13-decodecount-t128); above
-# that the decode must be the hybrid, whose top levels are XLA.
-_DECODE_COUNT_MAX_LEVEL = 13
+# compiles and wins under raised Mosaic VMEM budgets — m13-t128-v32
+# 3.56M fps (the bare cw-decode rate), m14-t128-v64 1.56M (receipts
+# r3); above that the decode must be the hybrid, whose top levels are
+# XLA.
+_DECODE_COUNT_MAX_LEVEL = 14
+_DECODE_COUNT_VMEM = {13: 32, 14: 64}
 
 
 def _front_decode_cfg(level: int) -> tuple[int, int]:
@@ -150,14 +152,14 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 interpret=rng_interpret, prng=kprng, systematic=systematic)
             if systematic and code.level <= _DECODE_COUNT_MAX_LEVEL:
                 # block front + whole-code decode+count kernel: no
-                # cw_hat HBM round trip, no XLA counter pass. At m13 the
-                # kernel's live set is 17.6M — raise the Mosaic budget
-                # past its 16M default (receipt m13-decodecount OOM +
-                # vmemprobe: physical VMEM is far larger)
+                # cw_hat HBM round trip, no XLA counter pass. The m13/
+                # m14 kernels' live sets exceed Mosaic's 16M default
+                # budget — raise it (vmemprobe: physical VMEM is far
+                # larger; receipts m13/m14-decodecount)
                 from .ops.pallas.step_kernel import make_pallas_decode_count
                 decode_count = make_pallas_decode_count(
                     code, frame_tile=128, interpret=rng_interpret,
-                    vmem_limit_mb=32 if code.level >= 13 else None)
+                    vmem_limit_mb=_DECODE_COUNT_VMEM.get(code.level))
             else:
                 kl, ktile = _front_decode_cfg(code.level)
                 front_dec = make_fastssc_decoder(

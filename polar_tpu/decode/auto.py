@@ -28,8 +28,15 @@ from .fastssc import make_fastssc_decoder
 # the scratch style — N=4096 t256 measured 11.4M vs t128's 10.0M, and
 # whole-code N=8192 works at 4.6M where the scratch pyramid could not)
 _TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
-                  12: 256, 13: 128}
-_HYBRID_MIN_LEVEL = 14       # whole-code SSA live set exceeds VMEM above this
+                  12: 256, 13: 128, 14: 128, 15: 128, 16: 128}
+# Mosaic's default 16M scoped-VMEM budget is far below the chip's
+# physical VMEM (r3 vmemprobe/vmem2 receipts): whole-code SSA kernels
+# now run to m=16 with raised budgets and BEAT the hybrid — m14 1.82M
+# (vs 1.81M), m15 922K (vs 748K, +23%), m16 446K (vs 314K, +42%).
+# First-call compiles grow with the kernel (m16: ~29 min through the
+# relay; the persistent compile cache amortizes repeats).
+_WHOLE_VMEM_BY_LEVEL = {14: 32, 15: 64, 16: 110}
+_HYBRID_MIN_LEVEL = 17       # whole-code m17 would need ~183M VMEM
 _HYBRID_KERNEL_LEVEL = 13    # kl13-t128 won at every m=14..18 (r2 ladder2)
 _HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
 # boundary f/g/comb fusion wins where the XLA top is deep (r3 receipts
@@ -58,10 +65,12 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
             make_fastssc_decoder(code, output=output, output_dtype=output_dtype),
             "xla",
         )
-    if code.level >= _HYBRID_MIN_LEVEL:
-        # fusion adopted for the u-output mode the receipts measured;
-        # the cw-track fused kernels carry extra in/out blocks whose
-        # VMEM ceiling is not yet receipted — they stay unfused
+    # the cw-track whole-code kernels above m13 and the cw-fused hybrid
+    # kernels have larger live sets whose budgets are only receipted at
+    # m14 — non-u outputs stay hybrid from m14 up, unfused
+    whole_max = 16 if output == "u" else 13
+    if code.level >= _HYBRID_MIN_LEVEL or (
+            code.level >= 14 and code.level > whole_max):
         fuse = code.level >= _HYBRID_FUSE_MIN_LEVEL and output == "u"
         dec = make_fastssc_decoder(
             code, output=output, output_dtype=output_dtype,
@@ -73,6 +82,7 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
         return dec, (f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
                      + ("-fused" if fuse else ""))
     tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
+    vmem = _WHOLE_VMEM_BY_LEVEL.get(code.level)
     from ..ops.pallas.decoder_kernel import make_pallas_decoder
 
     # non-"u" outputs use the kernel's fused codeword-estimate track (the
@@ -80,6 +90,8 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
     dec = make_pallas_decoder(code, frame_tile=tile,
                               compute_dtype=jnp.float32,
                               output_dtype=output_dtype, style="ssa",
-                              output=output)
+                              output=output, vmem_limit_mb=vmem)
     suffix = "" if output == "u" else "-fusedcw"
+    if vmem:
+        suffix += f"-v{vmem}"
     return dec, f"pallas-ssa-f32-t{tile}{suffix}"

@@ -25,11 +25,22 @@ def test_tpu_selection_descriptors():
         "pallas-ssa-f32-t256"
     assert make_auto_decoder(pt.make_code(13, rate=0.5), backend="tpu")[1] == \
         "pallas-ssa-f32-t128"
+    # r3: raised VMEM budgets make whole-code kernels the u-output
+    # champions to m=16 (receipts m14/m15/m16-wholecode-ssa-*)
     assert make_auto_decoder(pt.make_code(14, rate=0.5), backend="tpu")[1] == \
-        "hybrid-kl13-t128"
+        "pallas-ssa-f32-t128-v32"
+    assert make_auto_decoder(pt.make_code(16, rate=0.5), backend="tpu")[1] == \
+        "pallas-ssa-f32-t128-v110"
+    assert make_auto_decoder(pt.make_code(17, rate=0.5), backend="tpu")[1] == \
+        "hybrid-kl13-t128-fused"
     assert make_auto_decoder(
         pt.make_code(8, rate=0.5), backend="tpu",
         output="systematic")[1] == "pallas-ssa-f32-t512-fusedcw"
+    # non-u outputs: the cw-track budgets above m13 aren't receipted —
+    # hybrid, unfused
+    assert make_auto_decoder(
+        pt.make_code(14, rate=0.5), backend="tpu",
+        output="systematic")[1] == "hybrid-kl13-t128"
 
 
 def test_systematic_wrapper_matches_reference_path():
