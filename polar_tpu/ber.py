@@ -92,6 +92,13 @@ def _front_decode_cfg(level: int) -> tuple[int, int]:
     return min(13, level - 1), 128
 
 
+# whole-code u-output kernels are the decode champions to m=16 under
+# raised Mosaic VMEM budgets (receipts m14/15/16-wholecode-ssa-t128-v*);
+# the non-systematic front decodes u, so it rides them directly
+_FRONT_U_WHOLE_MAX_LEVEL = 16
+_FRONT_U_WHOLE_VMEM = {14: 32, 15: 64, 16: 110}
+
+
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                    decoder=None, compute=None, rng: str = "threefry",
                    rng_interpret: bool = False):
@@ -160,6 +167,17 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 decode_count = make_pallas_decode_count(
                     code, frame_tile=128, interpret=rng_interpret,
                     vmem_limit_mb=_DECODE_COUNT_VMEM.get(code.level))
+            elif not systematic \
+                    and code.level <= _FRONT_U_WHOLE_MAX_LEVEL:
+                # non-systematic decode is u-output: the whole-code SSA
+                # kernel is the champion to m=16 (no XLA top at all)
+                from .ops.pallas.decoder_kernel import make_pallas_decoder
+                front_dec = make_pallas_decoder(
+                    code, frame_tile=128, compute_dtype=jnp.float32,
+                    style="ssa", output_dtype=jnp.int8,
+                    interpret=rng_interpret,
+                    vmem_limit_mb=_FRONT_U_WHOLE_VMEM.get(code.level))
+                decode_u_lane = front_dec.lane_major
             else:
                 kl, ktile = _front_decode_cfg(code.level)
                 front_dec = make_fastssc_decoder(
