@@ -331,7 +331,8 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     ``fused``: ``"auto"`` (default) uses the single-Pallas-kernel step
     (:func:`polar_tpu.ops.pallas.step_kernel.make_pallas_step` — message
     gen, encode, AWGN, quantize, decode and counters all in VMEM, in-
-    kernel PRNG) on the TPU backend for int8 N ≤ 4096 (systematic and
+    kernel PRNG) on the TPU backend for int8 fused-eligible levels
+    (2..12 and 14; systematic and
     plain modes);
     batches that aren't a ``fused_frame_tile`` multiple fall back to the
     XLA chain at trace time (the default tile is the measured per-N
@@ -348,20 +349,26 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     return jax.jit(body, static_argnums=(2,))
 
 
-_FUSED_MAX_LEVEL = 12   # m13 t128 runs out of VMEM (probe receipt r2)
-_FUSED_TILE_BY_LEVEL = {11: 256, 12: 128}  # else 256; m10: t256 > t512
+# whole-step kernel coverage: levels 2..12 under the default VMEM
+# budget, plus m14 under a raised one — where the fused kernel BEATS the
+# block front (824.2K vs 724.4K steps/s, receipts m14-stepkernel-t128-
+# v96 / m14-steprate-sys r3). At m13 the block front + decode_count
+# path wins instead (1.681M vs 1.634M fused), so m13 stays unfused.
+_FUSED_LEVELS = frozenset(range(2, 13)) | {14}
+_FUSED_TILE_BY_LEVEL = {11: 256, 12: 128, 14: 128}  # else 256
+_FUSED_VMEM_BY_LEVEL = {13: 48, 14: 96}
 
 
 def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
     """Whether the fused Pallas step kernel covers this configuration
-    (int8, N ≤ 4096 — the step's VMEM live set is ~2.5× the decode-only
-    kernel's, so its ceiling sits one level below the whole-code
-    decoder's; both systematic and plain modes are kernelized); the
+    (int8, levels 2..12 at the default VMEM budget plus m14 at a raised
+    one — the step's live set is ~2.5× the decode-only kernel's; both
+    systematic and plain modes are kernelized); the
     TPU-backend check is separate because eligibility is also consulted
     by run_campaign."""
     return (compute is None
             and jnp.dtype(dtype) == jnp.int8
-            and 2 <= code.level <= _FUSED_MAX_LEVEL)
+            and code.level in _FUSED_LEVELS)
 
 
 def _front_step_eligible(code, dtype, compute) -> bool:
@@ -387,7 +394,7 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
         if not _fused_step_eligible(code, systematic, dtype, compute):
             raise ValueError(
                 "fused step supports int8 mode (no compute override) at "
-                f"N <= {1 << _FUSED_MAX_LEVEL} only (got N={code.N}, "
+                f"levels {sorted(_FUSED_LEVELS)} only (got N={code.N}, "
                 f"dtype={jnp.dtype(dtype)}, compute={compute!r})")
         use_fused = True
     # second rung of the ladder: when the whole-step kernel doesn't apply
@@ -407,8 +414,10 @@ def _make_dispatch_body(code, *, systematic, dtype, decoder, compute, fused,
         return make_body()
     from .ops.pallas.step_kernel import make_pallas_step
 
-    fused_body = make_pallas_step(code, frame_tile=fused_frame_tile,
-                                  prng="native", systematic=systematic)
+    fused_body = make_pallas_step(
+        code, frame_tile=fused_frame_tile, prng="native",
+        systematic=systematic,
+        vmem_limit_mb=_FUSED_VMEM_BY_LEVEL.get(code.level))
     # the XLA fallback (non-tile-multiple batches) builds its decoder
     # lazily: most fused campaigns never trace it, and the champion
     # decoder build is real work (kernel program construction)
@@ -574,7 +583,7 @@ def run_campaign(
     identical to an uninterrupted one (SURVEY.md §5 checkpoint/resume).
 
     On TPU, int8 campaigns draw from the hardware-PRNG Pallas kernels:
-    the whole step runs as the fused megakernel for N ≤ 4096
+    the whole step runs as the fused megakernel at eligible levels
     (unless ``decoder=`` pins a specific decode path), and larger codes
     keep their decoder but use the elementwise message/AWGN kernels (see
     :func:`make_step`). Pass ``fused=False`` to pin the pre-kernel
@@ -585,7 +594,7 @@ def run_campaign(
     if snr_range is None:
         snr_range = (math.floor(design - 3), math.ceil(design + 5))
     # when a kernel step path covers this config on TPU — the fused
-    # megakernel (N ≤ 4096) or the zero-transpose front chain (any N) —
+    # megakernel (eligible levels) or the zero-transpose front chain —
     # the step is built WITHOUT a decoder so make_step's auto dispatch
     # can pick it (a passed-in decoder pins the XLA chain); the
     # standalone decoder below then only serves the decode-only Mb/s

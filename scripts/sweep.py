@@ -376,9 +376,10 @@ def stage_decodecount(m=13, batch=4096):
         d = jax.random.key_data(k).reshape(-1)[0].astype(jnp.int8)
         return a + d
 
+    vmem = {13: 32, 14: 64, 15: 110}.get(m)
     for tile in (128, 256):
         dc = make_pallas_decode_count(code, frame_tile=tile,
-                                      vmem_limit_mb=32 if m >= 13 else None)
+                                      vmem_limit_mb=vmem)
         measure_keyed(f"m{m}-decodecount-t{tile}",
                       lambda k, f=dc, a=llr_t, b=cw_t: f(perturbed(k, a), b),
                       batch)
@@ -468,6 +469,64 @@ def stage_vmem2():
 
     # the fused whole-chain step kernel above its old N=4096 ceiling
     for m, batch, v in ((13, 4096, 48), (14, 2048, 96)):
+        code = pt.make_code(m, rate=0.5)
+
+        def run(mm=m, bb=batch, vv=v, cc=code):
+            step = make_pallas_step(cc, frame_tile=128, vmem_limit_mb=vv)
+            sj = jax.jit(lambda k: step(k, 0.5, bb))
+            return measure_keyed(f"m{mm}-stepkernel-t128-v{vv}",
+                                 lambda k: sj(k), bb)
+
+        guard(f"m{m}-stepkernel-t128-v{v}", run)
+
+
+def stage_parity(ms=(14, 15, 16)):
+    """TPU bit-exactness spot-check of the NEW whole-code champions
+    (v32/v64/v110 budgets): random full-range int8 LLR batch decoded on
+    the chip vs the XLA path on CPU, plus a noiseless round-trip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import polar_tpu as pt
+
+    for m in ms:
+        def run(mm=m):
+            code = pt.make_code(mm, rate=0.5)
+            rng = np.random.default_rng(mm)
+            llr = jnp.asarray(
+                rng.integers(-128, 128, (256, code.N)).astype(np.int8))
+            dec, desc = pt.make_auto_decoder(code, output="u",
+                                             backend="tpu")
+            got = np.asarray(jax.jit(dec)(llr))
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                ref = np.asarray(jax.jit(pt.make_fastssc_decoder(
+                    code, output_dtype=jnp.int8))(jax.device_put(llr, cpu)))
+            msg = (1 - 2 * rng.integers(0, 2, (128, code.K))).astype(np.int8)
+            cw = pt.encode(code, jnp.asarray(msg))
+            rt = np.asarray(jax.jit(dec)(
+                (cw.astype(jnp.int8) * jnp.int8(96)).astype(jnp.int8)))
+            log({"cfg": f"m{mm}-parity-wholecode", "decoder": desc,
+                 "tpu_vs_cpu_bitexact": bool(np.array_equal(got, ref)),
+                 "noiseless_roundtrip": bool(np.array_equal(rt, msg)),
+                 "ts": time.time()})
+
+        guard(f"m{m}-parity-wholecode", run)
+
+
+def stage_stepkernel(ms=(13, 14)):
+    """The whole-chain fused step kernel above its old N=4096 ceiling:
+    retry after the wide-compare fix (the first attempt tripped
+    Mosaic's int8-compare rejection, receipts m13/m14-stepkernel-*)."""
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        v = {13: 48, 14: 96}[m]
         code = pt.make_code(m, rate=0.5)
 
         def run(mm=m, bb=batch, vv=v, cc=code):
@@ -628,6 +687,8 @@ STAGES = {
     "vmemprobe": stage_vmemprobe,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
+    "stepkernel": stage_stepkernel,
+    "parity": stage_parity,
 }
 
 
