@@ -366,6 +366,11 @@ def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
     systematic and plain modes are kernelized); the
     TPU-backend check is separate because eligibility is also consulted
     by run_campaign."""
+    if code.level == 14 and not systematic:
+        # level-14 fusion is receipted for the systematic kernel only
+        # (m14-stepkernel-t128-v96); the nonsys u-track variant's VMEM
+        # ceiling is unprobed — it keeps the block front meanwhile
+        return False
     return (compute is None
             and jnp.dtype(dtype) == jnp.int8
             and code.level in _FUSED_LEVELS)
