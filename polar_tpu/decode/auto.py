@@ -37,12 +37,16 @@ _TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
 # relay; the persistent compile cache amortizes repeats).
 _WHOLE_VMEM_BY_LEVEL = {14: 32, 15: 64, 16: 110}
 _HYBRID_MIN_LEVEL = 17       # whole-code m17 would need ~183M VMEM
-_HYBRID_KERNEL_LEVEL = 13    # kl13-t128 won at every m=14..18 (r2 ladder2)
+# u-output hybrids run kl15 subtree kernels (level-15 whole-code bodies
+# at a 64M budget): m17 147.6K vs kl13's 118.7K (+24%), m18 61.2K vs
+# 54.3K (+13%) — receipts r3 klladder. The cw-track kl15 kernels'
+# budgets are unreceipted, so non-u outputs keep kl13.
+_HYBRID_KL_U, _HYBRID_KL_U_VMEM = 15, 64
+_HYBRID_KERNEL_LEVEL = 13    # non-u modes (r2 ladder2 receipts)
 _HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
-# boundary f/g/comb fusion wins where the XLA top is deep (r3 receipts
-# m17-hybrid-fusef1-v32: 123.6K vs 118.7K unfused, +4.2%; m16 +1.6%;
-# m14 it LOSES — the doubled input blocks cost more than the one saved
-# pass there). The fused kernels need a >16M Mosaic VMEM budget.
+# boundary f/g/comb fusion beat the UNFUSED kl13 where the XLA top is
+# deep (m17 +4.2%), but kl15 beats both; fusion for kl15 is unreceipted
+# and stays off.
 _HYBRID_FUSE_MIN_LEVEL = 16
 _HYBRID_FUSE_VMEM_MB = 32
 
@@ -71,15 +75,19 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
     whole_max = 16 if output == "u" else 13
     if code.level >= _HYBRID_MIN_LEVEL or (
             code.level >= 14 and code.level > whole_max):
-        fuse = code.level >= _HYBRID_FUSE_MIN_LEVEL and output == "u"
+        if output == "u":
+            kl, vmem, fuse = _HYBRID_KL_U, _HYBRID_KL_U_VMEM, False
+        else:
+            kl, vmem, fuse = _HYBRID_KERNEL_LEVEL, None, False
         dec = make_fastssc_decoder(
             code, output=output, output_dtype=output_dtype,
-            kernel_level=_HYBRID_KERNEL_LEVEL,
+            kernel_level=kl,
             kernel_frame_tile=_HYBRID_TILE,
             kernel_fuse=fuse,
-            kernel_vmem_limit_mb=_HYBRID_FUSE_VMEM_MB if fuse else None,
+            kernel_vmem_limit_mb=vmem,
         )
-        return dec, (f"hybrid-kl{_HYBRID_KERNEL_LEVEL}-t{_HYBRID_TILE}"
+        return dec, (f"hybrid-kl{kl}-t{_HYBRID_TILE}"
+                     + (f"-v{vmem}" if vmem else "")
                      + ("-fused" if fuse else ""))
     tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
     vmem = _WHOLE_VMEM_BY_LEVEL.get(code.level)

@@ -480,6 +480,39 @@ def stage_vmem2():
         guard(f"m{m}-stepkernel-t128-v{v}", run)
 
 
+def stage_vmem3():
+    """Round-3 follow-ups: the sys front's decode candidates at m15
+    (whole-code CW kernel at v110 — the decode_count twin hit the
+    relay's HTTP 413 program-size limit; the plain cw kernel serializes
+    smaller), and the NONSYS fused step kernels at m13/m14 (the sys
+    variants receipted 1.634M/824.2K; nonsys was faster at every
+    smaller N)."""
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+
+    code15 = pt.make_code(15, rate=0.5)
+    measure("m15-wholecode-cw-t128-v110",
+            lambda: pt.make_pallas_decoder(
+                code15, frame_tile=128, compute_dtype=jnp.float32,
+                style="ssa", output="codeword", vmem_limit_mb=110),
+            llr_batch(code15, 1024), iters=16)
+
+    for m, batch, v in ((13, 4096, 48), (14, 2048, 96)):
+        code = pt.make_code(m, rate=0.5)
+
+        def run(mm=m, bb=batch, vv=v, cc=code):
+            step = make_pallas_step(cc, frame_tile=128, vmem_limit_mb=vv,
+                                    systematic=False)
+            sj = jax.jit(lambda k: step(k, 0.5, bb))
+            return measure_keyed(f"m{mm}-stepkernel-nonsys-t128-v{vv}",
+                                 lambda k: sj(k), bb)
+
+        guard(f"m{m}-stepkernel-nonsys-t128-v{v}", run)
+
+
 def stage_parity(ms=(14, 15, 16)):
     """TPU bit-exactness spot-check of the NEW whole-code champions
     (v32/v64/v110 budgets): random full-range int8 LLR batch decoded on
@@ -689,6 +722,7 @@ STAGES = {
     "klladder": stage_klladder,
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
+    "vmem3": stage_vmem3,
 }
 
 

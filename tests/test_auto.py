@@ -32,7 +32,7 @@ def test_tpu_selection_descriptors():
     assert make_auto_decoder(pt.make_code(16, rate=0.5), backend="tpu")[1] == \
         "pallas-ssa-f32-t128-v110"
     assert make_auto_decoder(pt.make_code(17, rate=0.5), backend="tpu")[1] == \
-        "hybrid-kl13-t128-fused"
+        "hybrid-kl15-t128-v64"
     assert make_auto_decoder(
         pt.make_code(8, rate=0.5), backend="tpu",
         output="systematic")[1] == "pallas-ssa-f32-t512-fusedcw"
