@@ -97,6 +97,10 @@ def _front_decode_cfg(level: int) -> tuple[int, int]:
 # the non-systematic front decodes u, so it rides them directly
 _FRONT_U_WHOLE_MAX_LEVEL = 16
 _FRONT_U_WHOLE_VMEM = {14: 32, 15: 64, 16: 110}
+# systematic fronts above the decode_count ceiling: at m15 the
+# whole-code cw kernel (v110) beats the hybrid's cw track (+11%)
+_FRONT_CW_WHOLE_VMEM = {15: 110}
+_FRONT_CW_WHOLE_LEVELS = frozenset(_FRONT_CW_WHOLE_VMEM)
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
@@ -178,6 +182,16 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                     interpret=rng_interpret,
                     vmem_limit_mb=_FRONT_U_WHOLE_VMEM.get(code.level))
                 decode_u_lane = front_dec.lane_major
+            elif systematic and code.level in _FRONT_CW_WHOLE_LEVELS:
+                # the whole-code cw kernel beats the hybrid's cw track
+                # at m15 (receipt m15-wholecode-cw-t128-v110: 751.9K)
+                from .ops.pallas.decoder_kernel import make_pallas_decoder
+                front_dec = make_pallas_decoder(
+                    code, frame_tile=128, compute_dtype=jnp.float32,
+                    style="ssa", output="codeword", output_dtype=jnp.int8,
+                    interpret=rng_interpret,
+                    vmem_limit_mb=_FRONT_CW_WHOLE_VMEM.get(code.level))
+                decode_cw_lane = lambda x: front_dec.lane_major(x)[1]  # noqa: E731
             else:
                 kl, ktile = _front_decode_cfg(code.level)
                 front_dec = make_fastssc_decoder(
@@ -351,9 +365,10 @@ def make_step(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
 
 # whole-step kernel coverage: levels 2..12 under the default VMEM
 # budget, plus m14 under a raised one — where the fused kernel BEATS the
-# block front (824.2K vs 724.4K steps/s, receipts m14-stepkernel-t128-
-# v96 / m14-steprate-sys r3). At m13 the block front + decode_count
-# path wins instead (1.681M vs 1.634M fused), so m13 stays unfused.
+# block front in BOTH modes (sys 824.2K vs 724.4K steps/s, nonsys
+# 932.8K vs 827.1K; receipts m14-stepkernel-*-t128-v96 r3). At m13 the
+# block front wins instead in both modes (sys 1.681M vs 1.634M fused,
+# nonsys 1.916M vs 1.829M), so m13 stays unfused.
 _FUSED_LEVELS = frozenset(range(2, 13)) | {14}
 _FUSED_TILE_BY_LEVEL = {11: 256, 12: 128, 14: 128}  # else 256
 _FUSED_VMEM_BY_LEVEL = {13: 48, 14: 96}
@@ -366,11 +381,6 @@ def _fused_step_eligible(code, systematic, dtype, compute) -> bool:
     systematic and plain modes are kernelized); the
     TPU-backend check is separate because eligibility is also consulted
     by run_campaign."""
-    if code.level == 14 and not systematic:
-        # level-14 fusion is receipted for the systematic kernel only
-        # (m14-stepkernel-t128-v96); the nonsys u-track variant's VMEM
-        # ceiling is unprobed — it keeps the block front meanwhile
-        return False
     return (compute is None
             and jnp.dtype(dtype) == jnp.int8
             and code.level in _FUSED_LEVELS)

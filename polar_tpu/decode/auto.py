@@ -36,6 +36,9 @@ _TILE_BY_LEVEL = {6: 1024, 7: 1024, 8: 512, 9: 512, 10: 512, 11: 256,
 # First-call compiles grow with the kernel (m16: ~29 min through the
 # relay; the persistent compile cache amortizes repeats).
 _WHOLE_VMEM_BY_LEVEL = {14: 32, 15: 64, 16: 110}
+# the cw track's extra value chain needs roughly the next level's
+# budget (receipts m14-wholecode-cw-t128-v64, m15-wholecode-cw-v110)
+_WHOLE_CW_VMEM_BY_LEVEL = {14: 64, 15: 110}
 _HYBRID_MIN_LEVEL = 17       # whole-code m17 would need ~183M VMEM
 # u-output hybrids run kl15 subtree kernels (level-15 whole-code bodies
 # at a 64M budget): m17 147.6K vs kl13's 118.7K (+24%), m18 61.2K vs
@@ -69,10 +72,10 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
             make_fastssc_decoder(code, output=output, output_dtype=output_dtype),
             "xla",
         )
-    # the cw-track whole-code kernels above m13 and the cw-fused hybrid
-    # kernels have larger live sets whose budgets are only receipted at
-    # m14 — non-u outputs stay hybrid from m14 up, unfused
-    whole_max = 16 if output == "u" else 13
+    # cw-track whole-code kernels are receipted to m15 (m14-cw-v64
+    # 1.534M, m15-cw-v110 751.9K fps — the m15 one beats the hybrid's
+    # cw rate by ~11%); m16-cw would exceed the chip's VMEM
+    whole_max = 16 if output == "u" else 15
     if code.level >= _HYBRID_MIN_LEVEL or (
             code.level >= 14 and code.level > whole_max):
         if output == "u":
@@ -90,7 +93,8 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
                      + (f"-v{vmem}" if vmem else "")
                      + ("-fused" if fuse else ""))
     tile = _TILE_BY_LEVEL.get(code.level, 512 if code.level <= 10 else 128)
-    vmem = _WHOLE_VMEM_BY_LEVEL.get(code.level)
+    vmem = (_WHOLE_VMEM_BY_LEVEL if output == "u"
+            else _WHOLE_CW_VMEM_BY_LEVEL).get(code.level)
     from ..ops.pallas.decoder_kernel import make_pallas_decoder
 
     # non-"u" outputs use the kernel's fused codeword-estimate track (the

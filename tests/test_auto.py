@@ -36,10 +36,13 @@ def test_tpu_selection_descriptors():
     assert make_auto_decoder(
         pt.make_code(8, rate=0.5), backend="tpu",
         output="systematic")[1] == "pallas-ssa-f32-t512-fusedcw"
-    # non-u outputs: the cw-track budgets above m13 aren't receipted —
-    # hybrid, unfused
+    # non-u outputs: cw-track whole-code kernels receipted to m15
+    # (larger budgets than the u track); hybrid kl13 above
     assert make_auto_decoder(
         pt.make_code(14, rate=0.5), backend="tpu",
+        output="systematic")[1] == "pallas-ssa-f32-t128-fusedcw-v64"
+    assert make_auto_decoder(
+        pt.make_code(16, rate=0.5), backend="tpu",
         output="systematic")[1] == "hybrid-kl13-t128"
 
 

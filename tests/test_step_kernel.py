@@ -373,9 +373,12 @@ def test_block_front_step_matches_whole_front_step(monkeypatch):
     # _DECODE_COUNT_MAX_LEVEL so this takes the decode_count path
     monkeypatch.setattr(ber, "_FRONT_WHOLE_MAX_LEVEL", 5)
     blockb = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
-    # ...and the hybrid lane_major + XLA-counter path (m14+-class)
+    # ...the hybrid lane_major + XLA-counter path (m16+-class)...
     monkeypatch.setattr(ber, "_DECODE_COUNT_MAX_LEVEL", 5)
     blockx = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    # ...and the whole-code cw-kernel + XLA-counter path (m15-class)
+    monkeypatch.setattr(ber, "_FRONT_CW_WHOLE_LEVELS", frozenset({9}))
+    blockw = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
     for k, snr in [(0, 14.0), (3, -1.0), (4, 1.5)]:
         a = {n: int(v)
              for n, v in blockb(jax.random.PRNGKey(k), snr, 256).items()}
@@ -383,8 +386,11 @@ def test_block_front_step_matches_whole_front_step(monkeypatch):
              for n, v in whole(jax.random.PRNGKey(k), snr, 256).items()}
         c = {n: int(v)
              for n, v in blockx(jax.random.PRNGKey(k), snr, 256).items()}
+        d = {n: int(v)
+             for n, v in blockw(jax.random.PRNGKey(k), snr, 256).items()}
         assert a == b, (snr, a, b)
         assert c == b, (snr, c, b)
+        assert d == b, (snr, d, b)
     # odd batches fall back to the XLA chain (lazy decoder build)
     out = blockb(jax.random.PRNGKey(2), 14.0, 100)
     assert int(out["uncorrected_errors"]) == 0
