@@ -704,6 +704,49 @@ def _chan_block_kernel_inject(params_ref, y_ref, nrm_ref, llr_ref, cw_ref):
     _chan_block_body(params_ref, y_ref, llr_ref, cw_ref, nrm_ref[...])
 
 
+def _stages_rows(x, h_lo: int, h_hi: int):
+    """Butterfly stages ``h_lo <= h < h_hi`` on an element-major value
+    ``(N, T)`` using only static row slices + concats (the in-kernel
+    form of :func:`polar_transform_stages` ``axis=0`` — Mosaic-friendly:
+    no reshapes). Stage h pairs rows ``[g, g+h)`` with ``[g+h, g+2h)``
+    per 2h-row group: ``lo' = lo*hi, hi' = hi``."""
+    n = x.shape[0]
+    h = h_lo
+    while h < h_hi:
+        parts = []
+        for g in range(0, n, 2 * h):
+            lo, hi = x[g:g + h], x[g + h:g + 2 * h]
+            parts.append(lo * hi)
+            parts.append(hi)
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        h *= 2
+    return x
+
+
+def _middle_kernel(n, frozen_np, blk_a, blk_b, systematic, cdtype,
+                   x_ref, o_ref):
+    """The block front's XLA middle as ONE VMEM pass per frame tile:
+    top stages (+ refreeze when systematic) on the full (N, tile)
+    column. The XLA middle pays one HBM read+write per butterfly stage
+    (3+1+4 = 8 passes at m16 systematic, ~0.9 ms per 33.5M elements —
+    the dominant front cost at m >= 15); here the column is loaded
+    once. Values are ±1 throughout, so bfloat16 compute is exact and
+    halves the VMEM live set vs float32. Bit-exact with
+    :func:`polar_transform_stages` + refreeze (tested in interpret
+    mode, ``tests/test_step_kernel.py``)."""
+    x = x_ref[...].astype(cdtype)
+    if systematic:
+        if blk_a < n:
+            x = _stages_rows(x, blk_a, n)
+        # refreeze: frozen rows -> +1 (x is ±1, so frz + (1-frz)*x is
+        # exactly where(frozen, 1, x))
+        frz = _const_col(frozen_np.reshape(n, 1)).astype(cdtype)
+        x = frz + (jnp.asarray(1, cdtype) - frz) * x
+    if blk_b < n:
+        x = _stages_rows(x, blk_b, n)
+    o_ref[...] = x.astype(o_ref.dtype)
+
+
 def make_pallas_front_blocks(
     code: PolarCode,
     *,
@@ -714,6 +757,7 @@ def make_pallas_front_blocks(
     prng: str = "native",
     systematic: bool = True,
     vmem_limit_mb: int | None = None,
+    middle_mode: str = "kernel",
 ):
     """Large-N Monte-Carlo front: :func:`make_pallas_front`'s chain as
     block-local kernels around a thin element-major XLA middle.
@@ -761,9 +805,16 @@ def make_pallas_front_blocks(
     ``(llr_t, cw_t, u0_t)`` — ``u0_t`` is the frozen-pinned u-domain
     message, the non-systematic error reference. Kernel A then applies
     NO butterfly (it just draws/pins symbols, so its output IS ``u0``
-    and the intermediate costs nothing extra); the XLA middle applies
+    and the intermediate costs nothing extra); the middle applies
     the transform's top stages and kernel B its bottom stages — the
     commuting split covers the whole single transform.
+
+    ``middle_mode``: ``"kernel"`` (default) runs the middle's top
+    stages + refreeze as ONE Pallas pass per frame tile (the whole
+    (N, tile) ±1 column in VMEM, bfloat16 compute — exact for ±1);
+    ``"xla"`` keeps the per-stage XLA ops (one HBM read+write per
+    stage — 8 passes at m16 systematic, the dominant front cost at
+    m >= 15). Bit-identical results either way.
     """
     from ..transform import polar_transform_stages
 
@@ -830,6 +881,31 @@ def make_pallas_front_blocks(
         if blk_b < n:
             x = polar_transform_stages(x, blk_b, n, axis=0)
         return x
+
+    if middle_mode not in ("kernel", "xla"):
+        raise ValueError(f"unknown middle_mode {middle_mode!r}")
+    if middle_mode == "kernel" and (systematic or blk_b < n):
+        # one VMEM pass instead of one HBM pass per stage. Budget: the
+        # bf16 column is n*tile*2 bytes; allow ~2 live copies plus the
+        # int8 in/out blocks, capped at the receipted 110M ceiling.
+        est_mb = (n * frame_tile * 2) >> 20
+        mid_vmem = min(110, max(vmem_limit_mb or 0, 2 * est_mb + 16))
+        mid_kern = functools.partial(
+            _middle_kernel, n, (frozen != 0), blk_a, blk_b, systematic,
+            jnp.bfloat16)
+        mid_blk = lambda: pl.BlockSpec(  # noqa: E731
+            (n, frame_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+        def middle(x):  # noqa: F811 — kernel twin of the XLA middle
+            return pl.pallas_call(
+                mid_kern,
+                grid=(x.shape[1] // frame_tile,),
+                in_specs=[mid_blk()],
+                out_specs=mid_blk(),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int8),
+                compiler_params=_cparams(sem, mid_vmem),
+                interpret=interpret,
+            )(x)
 
     # --- kernel B: single 2-D grid over (row blocks × frame tiles) ----
     b_kernel = _chan_block_kernel_inject if inject \

@@ -318,6 +318,27 @@ def stage_frontprofile(ms=(13, 14), systematic=True):
                       lambda k, xx=x, f=front: f.channel(k, xx, 0.5), batch)
 
 
+def stage_frontmid(ms=(15, 16), systematic=True):
+    """A/B the block front's middle: per-stage XLA passes ("xla") vs
+    ONE Pallas VMEM pass over the full (N, tile) ±1 column
+    (middle_mode="kernel", the new default). m16 systematic pays 8
+    XLA stage passes (~0.1 ms of HBM each at batch 512) — the dominant
+    front cost at m >= 15 after the poly-sincos kernel B."""
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+
+    tag = "sys" if systematic else "nonsys"
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        for mode in ("xla", "kernel"):
+            front = make_pallas_front_blocks(
+                code, frame_tile=128, block_level=min(13, m - 1),
+                systematic=systematic, middle_mode=mode)
+            measure_keyed(f"m{m}-frontmid-{tag}-{mode}",
+                          lambda k, f=front, b=batch: f(k, 0.5, b), batch)
+
+
 def stage_steprate(ms=(13, 14, 15, 16), systematic=True):
     """End-to-end Monte-Carlo step rate at the large-N frontier — the
     VERDICT r2 'chain at decode speed' gap (targets >= 60% of
@@ -595,6 +616,30 @@ def stage_klladder(ms=(15, 16, 17, 18)):
                     llrs, iters=16)
 
 
+def stage_klcw(ms=(16, 17)):
+    """cw-track kl15 hybrids (BACKLOG: unreceipted — u receipts only).
+    The u-track kl15 subtree kernels won m17 +24% / m18 +13% over kl13;
+    if the cw variants (hard+cw outputs, ``emit_u=False``) fit the
+    raised budgets, systematic/codeword decodes and the m16+ sys step
+    gain the same way. kl13-cw runs first as the same-process baseline
+    (its kernels are already in the compile cache)."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for kl, v in ((13, None), (15, 110)):
+            measure(f"m{m}-hybridcw-kl{kl}-t128" + (f"-v{v}" if v else ""),
+                    lambda k=kl, vv=v, c=code: pt.make_fastssc_decoder(
+                        c, output="codeword", output_dtype=jnp.int8,
+                        kernel_level=k, kernel_frame_tile=128,
+                        kernel_vmem_limit_mb=vv),
+                    llrs, iters=16)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -713,6 +758,7 @@ STAGES = {
     "mathprobe": stage_mathprobe,
     "frontprofile": stage_frontprofile,
     "frontcfg": stage_frontcfg,
+    "frontmid": stage_frontmid,
     "decodecount": stage_decodecount,
     "steprate": stage_steprate,
     "lanemajor": stage_lanemajor,
@@ -720,6 +766,7 @@ STAGES = {
     "vmemprobe": stage_vmemprobe,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
+    "klcw": stage_klcw,
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
     "vmem3": stage_vmem3,

@@ -333,12 +333,15 @@ def test_decode_count_kernel_matches_xla_counter_math():
         count(llr_t[:, :100], cw_t[:, :100])
 
 
+@pytest.mark.parametrize("mid", ["kernel", "xla"])
 @pytest.mark.parametrize("bl,cbl", [(6, 6), (6, 5), (4, 7)])
-def test_front_blocks_inject_matches_whole_front(bl, cbl):
+def test_front_blocks_inject_matches_whole_front(bl, cbl, mid):
     """The block-structured large-N front (kernel A blocks + element-
-    major XLA middle + kernel B grid) must be bit-identical to the
+    major middle + kernel B grid) must be bit-identical to the
     whole-block front kernel on identical message symbols and normals —
-    including asymmetric A/B block levels."""
+    including asymmetric A/B block levels, with the middle's top
+    stages + refreeze as ONE Pallas pass ("kernel", the default) or as
+    per-stage XLA ops ("xla")."""
     from polar_tpu.ops.pallas.step_kernel import (make_pallas_front,
                                                   make_pallas_front_blocks)
 
@@ -352,7 +355,7 @@ def test_front_blocks_inject_matches_whole_front(bl, cbl):
                               prng="inject")
     blockf = make_pallas_front_blocks(
         code, frame_tile=128, block_level=bl, chan_block_level=cbl,
-        interpret=True, prng="inject")
+        interpret=True, prng="inject", middle_mode=mid)
     lw, cww = whole(msg_t, nrm_t, snr)
     lb, cwb = blockf(msg_t, nrm_t, snr)
     assert np.array_equal(np.asarray(cww), np.asarray(cwb))
