@@ -81,15 +81,19 @@ _DECODE_COUNT_MAX_LEVEL = 14
 _DECODE_COUNT_VMEM = {13: 32, 14: 64}
 
 
-def _front_decode_cfg(level: int) -> tuple[int, int]:
-    """(kernel_level, kernel_frame_tile) for the front path's hybrid
-    decoder: kl13-t128, the decode-only champion at every measured m.
-    History: with the kernels' (now-elided) dead u output this config
-    OOM'd scoped VMEM at m >= 15 inside fori_loop bodies (16.23M vs the
-    16M core limit); dropping the u stores for codeword-output kernels
-    (``emit_u=False``) brought it back under — measured working receipt
-    ``m15-steprate-blockfront-kl13-nou``."""
-    return min(13, level - 1), 128
+def _front_decode_cfg(level: int, u_output: bool) -> tuple[int, int, int | None]:
+    """(kernel_level, kernel_frame_tile, kernel_vmem_limit_mb) for the
+    front path's hybrid decoder. kl15 subtree kernels beat kl13 under
+    raised Mosaic budgets — u track: m17 +24% / m18 +13% (receipts
+    klladder, v64); cw track: m16 +24.6% (receipt
+    ``m16-hybridcw-kl15-t128-v110``) — so hybrids deep enough to host a
+    level-15 subtree run kl15. Smaller hybrids keep kl13-t128 (history:
+    the dead-u-store elision ``emit_u=False`` is what lets even kl13
+    fit inside fori_loop bodies at m >= 15, receipt
+    ``m15-steprate-blockfront-kl13-nou``)."""
+    if level >= (17 if u_output else 16):
+        return 15, 128, (64 if u_output else 110)
+    return min(13, level - 1), 128, None
 
 
 # whole-code u-output kernels are the decode champions to m=16 under
@@ -193,12 +197,14 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                     vmem_limit_mb=_FRONT_CW_WHOLE_VMEM.get(code.level))
                 decode_cw_lane = lambda x: front_dec.lane_major(x)[1]  # noqa: E731
             else:
-                kl, ktile = _front_decode_cfg(code.level)
+                kl, ktile, kvmem = _front_decode_cfg(
+                    code.level, u_output=not systematic)
                 front_dec = make_fastssc_decoder(
                     code, output="codeword" if systematic else "u",
                     output_dtype=jnp.int8,
                     kernel_level=kl,
-                    kernel_frame_tile=ktile, kernel_interpret=rng_interpret)
+                    kernel_frame_tile=ktile, kernel_interpret=rng_interpret,
+                    kernel_vmem_limit_mb=kvmem)
                 if systematic:
                     decode_cw_lane = front_dec.lane_major
                 else:

@@ -42,10 +42,14 @@ _WHOLE_CW_VMEM_BY_LEVEL = {14: 64, 15: 110}
 _HYBRID_MIN_LEVEL = 17       # whole-code m17 would need ~183M VMEM
 # u-output hybrids run kl15 subtree kernels (level-15 whole-code bodies
 # at a 64M budget): m17 147.6K vs kl13's 118.7K (+24%), m18 61.2K vs
-# 54.3K (+13%) — receipts r3 klladder. The cw-track kl15 kernels'
-# budgets are unreceipted, so non-u outputs keep kl13.
+# 54.3K (+13%) — receipts r3 klladder. The cw-track kl15 kernels fit a
+# 110M budget and win the same way (receipt m16-hybridcw-kl15-t128-v110
+# 299.7K vs kl13's 240.5K, +24.6%), so non-u hybrids run kl15 too
+# (m17/m18 cw rates extrapolate from the m16-cw and m17/m18-u receipts;
+# the kernels themselves are the m16-proven ones).
 _HYBRID_KL_U, _HYBRID_KL_U_VMEM = 15, 64
-_HYBRID_KERNEL_LEVEL = 13    # non-u modes (r2 ladder2 receipts)
+_HYBRID_KL_CW, _HYBRID_KL_CW_VMEM = 15, 110
+_HYBRID_KERNEL_LEVEL = 13    # pre-kl15 champion (r2 ladder2 receipts)
 _HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
 # boundary f/g/comb fusion beat the UNFUSED kl13 where the XLA top is
 # deep (m17 +4.2%), but kl15 beats both; fusion for kl15 is unreceipted
@@ -81,7 +85,7 @@ def make_auto_decoder(code: PolarCode, *, output: str = "u",
         if output == "u":
             kl, vmem, fuse = _HYBRID_KL_U, _HYBRID_KL_U_VMEM, False
         else:
-            kl, vmem, fuse = _HYBRID_KERNEL_LEVEL, None, False
+            kl, vmem, fuse = _HYBRID_KL_CW, _HYBRID_KL_CW_VMEM, False
         dec = make_fastssc_decoder(
             code, output=output, output_dtype=output_dtype,
             kernel_level=kl,

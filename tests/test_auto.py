@@ -37,13 +37,14 @@ def test_tpu_selection_descriptors():
         pt.make_code(8, rate=0.5), backend="tpu",
         output="systematic")[1] == "pallas-ssa-f32-t512-fusedcw"
     # non-u outputs: cw-track whole-code kernels receipted to m15
-    # (larger budgets than the u track); hybrid kl13 above
+    # (larger budgets than the u track); kl15 cw hybrids above
+    # (receipt m16-hybridcw-kl15-t128-v110: +24.6% over kl13)
     assert make_auto_decoder(
         pt.make_code(14, rate=0.5), backend="tpu",
         output="systematic")[1] == "pallas-ssa-f32-t128-fusedcw-v64"
     assert make_auto_decoder(
         pt.make_code(16, rate=0.5), backend="tpu",
-        output="systematic")[1] == "hybrid-kl13-t128"
+        output="systematic")[1] == "hybrid-kl15-t128-v110"
 
 
 def test_systematic_wrapper_matches_reference_path():
