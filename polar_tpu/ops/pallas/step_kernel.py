@@ -886,10 +886,12 @@ def make_pallas_front_blocks(
         raise ValueError(f"unknown middle_mode {middle_mode!r}")
     if middle_mode == "kernel" and (systematic or blk_b < n):
         # one VMEM pass instead of one HBM pass per stage. Budget: the
-        # bf16 column is n*tile*2 bytes; allow ~2 live copies plus the
-        # int8 in/out blocks, capped at the receipted 110M ceiling.
+        # bf16 column is n*tile*2 bytes; Mosaic's measured scoped need
+        # is ~4x that plus slack (m16: 65.4M for a 16M column — receipt
+        # m16-steprate-sys OOM at a 48M budget), capped at the
+        # receipted 110M ceiling.
         est_mb = (n * frame_tile * 2) >> 20
-        mid_vmem = min(110, max(vmem_limit_mb or 0, 2 * est_mb + 16))
+        mid_vmem = min(110, max(vmem_limit_mb or 0, 4 * est_mb + 24))
         mid_kern = functools.partial(
             _middle_kernel, n, (frozen != 0), blk_a, blk_b, systematic,
             jnp.bfloat16)
