@@ -83,16 +83,15 @@ _DECODE_COUNT_VMEM = {13: 32, 14: 64}
 
 def _front_decode_cfg(level: int, u_output: bool) -> tuple[int, int, int | None]:
     """(kernel_level, kernel_frame_tile, kernel_vmem_limit_mb) for the
-    front path's hybrid decoder. kl15 subtree kernels beat kl13 under
-    raised Mosaic budgets — u track: m17 +24% / m18 +13% (receipts
-    klladder, v64); cw track: m16 +24.6% (receipt
-    ``m16-hybridcw-kl15-t128-v110``) — so hybrids deep enough to host a
-    level-15 subtree run kl15. Smaller hybrids keep kl13-t128 (history:
-    the dead-u-store elision ``emit_u=False`` is what lets even kl13
-    fit inside fori_loop bodies at m >= 15, receipt
-    ``m15-steprate-blockfront-kl13-nou``)."""
-    if level >= (17 if u_output else 16):
-        return 15, 128, (64 if u_output else 110)
+    front path's hybrid decoder — the decoder that runs INSIDE the
+    campaign step's fori_loop. kl13-t128, everywhere: kl15 subtree
+    kernels beat kl13 in decode-only A/Bs (receipts klladder / klcw),
+    but no kl15 config has a passing receipt inside the actual step
+    loop, where scoped VMEM is tighter — even kl13 needed the dead-
+    u-store elision ``emit_u=False`` to fit at m >= 15 (receipt
+    ``m15-steprate-blockfront-kl13-nou``), and r3's one combined kl15
+    attempt (``m16-steprate-sys``) OOM'd. Promote kl15 here only with a
+    passing steprate receipt (scripts/sweep.py --stage steprate)."""
     return min(13, level - 1), 128, None
 
 

@@ -723,28 +723,35 @@ def _stages_rows(x, h_lo: int, h_hi: int):
     return x
 
 
-def _middle_kernel(n, frozen_np, blk_a, blk_b, systematic, cdtype,
-                   x_ref, o_ref):
-    """The block front's XLA middle as ONE VMEM pass per frame tile:
-    top stages (+ refreeze when systematic) on the full (N, tile)
-    column. The XLA middle pays one HBM read+write per butterfly stage
-    (3+1+4 = 8 passes at m16 systematic, ~0.9 ms per 33.5M elements —
-    the dominant front cost at m >= 15); here the column is loaded
-    once. Values are ±1 throughout, so bfloat16 compute is exact and
-    halves the VMEM live set vs float32. Bit-exact with
-    :func:`polar_transform_stages` + refreeze (tested in interpret
-    mode, ``tests/test_step_kernel.py``)."""
-    x = x_ref[...].astype(cdtype)
-    if systematic:
-        if blk_a < n:
-            x = _stages_rows(x, blk_a, n)
-        # refreeze: frozen rows -> +1 (x is ±1, so frz + (1-frz)*x is
-        # exactly where(frozen, 1, x))
-        frz = _const_col(frozen_np.reshape(n, 1)).astype(cdtype)
-        x = frz + (jnp.asarray(1, cdtype) - frz) * x
-    if blk_b < n:
-        x = _stages_rows(x, blk_b, n)
-    o_ref[...] = x.astype(o_ref.dtype)
+def _stages_kernel(h_lo, h_hi, cdtype, x_ref, o_ref):
+    """One middle stage-pass as a VMEM kernel per frame tile: butterfly
+    stages ``h_lo <= h < h_hi`` on the full (N, tile) column. The XLA
+    middle pays one HBM read+write per butterfly stage (3+1+4 = 8
+    passes at m16 systematic, ~0.9 ms per 33.5M elements — the dominant
+    front cost at m >= 15); here the column is loaded once per pass.
+    Values are ±1 throughout, so bfloat16 compute is exact and halves
+    the VMEM live set vs float32. Bit-exact with
+    :func:`polar_transform_stages` (tested in interpret mode,
+    ``tests/test_step_kernel.py``). The systematic refreeze runs as ONE
+    XLA ``where`` between the two passes — baking the frozen mask as
+    broadcast-run constants bloated the kernel MLIR (thousands of runs
+    at rate 0.5, m >= 15; 16.4 MB at m16) toward the compile relay's
+    program-size wall."""
+    o_ref[...] = _stages_rows(x_ref[...].astype(cdtype), h_lo, h_hi) \
+        .astype(o_ref.dtype)
+
+
+# per-level "kernel" middle adoption for middle_mode="auto": the XLA
+# middle is the receipted champion at m13 (front A/B 2.751M vs the r3
+# fused middle kernel's 2.423M, receipts m13-frontmid-sys-*), and the
+# r3 kernel middle shipped with NO passing m15/m16 receipt (its first
+# steprate attempts OOM'd scoped VMEM). Levels earn a place here only
+# with a passing frontmid receipt (scripts/sweep.py --stage frontmid).
+_MIDDLE_KERNEL_LEVELS: frozenset = frozenset()
+# receipted scoped-VMEM ceiling (r3 vmem2/vmem3 receipts); the middle
+# kernel's measured need is ~4x its bf16 column + slack (receipt
+# m16-steprate-sys OOM: 65.4M scoped at a 48M budget)
+_MID_VMEM_CEILING_MB = 110
 
 
 def make_pallas_front_blocks(
@@ -757,7 +764,7 @@ def make_pallas_front_blocks(
     prng: str = "native",
     systematic: bool = True,
     vmem_limit_mb: int | None = None,
-    middle_mode: str = "kernel",
+    middle_mode: str = "auto",
 ):
     """Large-N Monte-Carlo front: :func:`make_pallas_front`'s chain as
     block-local kernels around a thin element-major XLA middle.
@@ -809,12 +816,18 @@ def make_pallas_front_blocks(
     the transform's top stages and kernel B its bottom stages — the
     commuting split covers the whole single transform.
 
-    ``middle_mode``: ``"kernel"`` (default) runs the middle's top
-    stages + refreeze as ONE Pallas pass per frame tile (the whole
-    (N, tile) ±1 column in VMEM, bfloat16 compute — exact for ±1);
-    ``"xla"`` keeps the per-stage XLA ops (one HBM read+write per
-    stage — 8 passes at m16 systematic, the dominant front cost at
-    m >= 15). Bit-identical results either way.
+    ``middle_mode``: ``"xla"`` keeps the per-stage XLA ops (one HBM
+    read+write per stage — 8 passes at m16 systematic, the dominant
+    front cost at m >= 15); ``"kernel"`` runs each run of top stages as
+    ONE Pallas pass per frame tile (the whole (N, tile) ±1 column in
+    VMEM, bfloat16 compute — exact for ±1) with the systematic refreeze
+    as one XLA ``where`` between the two passes (3 HBM passes total at
+    m16 systematic, and no baked mask constants in the kernel MLIR).
+    ``"auto"`` (default) picks per level from the receipted A/Bs
+    (``_MIDDLE_KERNEL_LEVELS``). Falls back to ``"xla"`` when the
+    kernel's scoped-VMEM need (~4x its bf16 column) would exceed the
+    receipted 110 MB ceiling — unless the caller's explicit
+    ``vmem_limit_mb`` covers it. Bit-identical results in every mode.
     """
     from ..transform import polar_transform_stages
 
@@ -882,25 +895,26 @@ def make_pallas_front_blocks(
             x = polar_transform_stages(x, blk_b, n, axis=0)
         return x
 
-    if middle_mode not in ("kernel", "xla"):
+    if middle_mode not in ("auto", "kernel", "xla"):
         raise ValueError(f"unknown middle_mode {middle_mode!r}")
-    if middle_mode == "kernel" and (systematic or blk_b < n):
-        # one VMEM pass instead of one HBM pass per stage. Budget: the
-        # bf16 column is n*tile*2 bytes; Mosaic's measured scoped need
-        # is ~4x that plus slack (m16: 65.4M for a 16M column — receipt
-        # m16-steprate-sys OOM at a 48M budget), capped at the
-        # receipted 110M ceiling.
-        est_mb = (n * frame_tile * 2) >> 20
-        mid_vmem = min(110, max(vmem_limit_mb or 0, 4 * est_mb + 24))
-        mid_kern = functools.partial(
-            _middle_kernel, n, (frozen != 0), blk_a, blk_b, systematic,
-            jnp.bfloat16)
+    # VMEM-budget gate: measured scoped need is ~4x the bf16 column
+    # plus slack (receipt m16-steprate-sys OOM: 65.4M at a 48M budget);
+    # above the receipted 110M ceiling the kernel middle cannot compile
+    # — fall back to XLA unless the caller's explicit budget covers it
+    # (an m17 column would estimate ~130M).
+    mid_need = 4 * ((n * frame_tile * 2) >> 20) + 24
+    mid_fits = mid_need <= max(_MID_VMEM_CEILING_MB, vmem_limit_mb or 0)
+    use_mid_kernel = (middle_mode == "kernel" or (
+        middle_mode == "auto" and code.level in _MIDDLE_KERNEL_LEVELS))
+    if use_mid_kernel and mid_fits and (systematic or blk_b < n):
+        mid_vmem = max(mid_need, vmem_limit_mb or 0)
         mid_blk = lambda: pl.BlockSpec(  # noqa: E731
             (n, frame_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-        def middle(x):  # noqa: F811 — kernel twin of the XLA middle
+        def stage_pass(x, h_lo, h_hi):
             return pl.pallas_call(
-                mid_kern,
+                functools.partial(_stages_kernel, h_lo, h_hi,
+                                  jnp.bfloat16),
                 grid=(x.shape[1] // frame_tile,),
                 in_specs=[mid_blk()],
                 out_specs=mid_blk(),
@@ -908,6 +922,15 @@ def make_pallas_front_blocks(
                 compiler_params=_cparams(sem, mid_vmem),
                 interpret=interpret,
             )(x)
+
+        def middle(x):  # noqa: F811 — kernel twin of the XLA middle
+            if systematic:
+                if blk_a < n:
+                    x = stage_pass(x, blk_a, n)
+                x = jnp.where(frozen_col, jnp.int8(1), x)
+            if blk_b < n:
+                x = stage_pass(x, blk_b, n)
+            return x
 
     # --- kernel B: single 2-D grid over (row blocks × frame tiles) ----
     b_kernel = _chan_block_kernel_inject if inject \
