@@ -6,7 +6,8 @@ sweep_r2.py, sweep_r2c.py — deleted; their receipts live on in
 results/throughput_receipts{,_r2}.txt). One process per invocation,
 run serially — a single python process holds the TPU grant.
 
-Receipts append to results/throughput_receipts_r3.txt as JSON lines.
+Receipts append to results/throughput_receipts_r4.txt as JSON lines
+(rounds 1-3: throughput_receipts{,_r2,_r3}.txt).
 
   python scripts/sweep.py --stage frontprofile   # block-front part timings
   python scripts/sweep.py --stage prngrate       # hardware-PRNG draw rate
@@ -25,7 +26,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RECEIPTS = Path(__file__).resolve().parent.parent / "results" / \
-    "throughput_receipts_r3.txt"
+    "throughput_receipts_r4.txt"
 
 
 def log(obj):
@@ -321,9 +322,11 @@ def stage_frontprofile(ms=(13, 14), systematic=True):
 def stage_frontmid(ms=(15, 16), systematic=True):
     """A/B the block front's middle: per-stage XLA passes ("xla") vs
     ONE Pallas VMEM pass over the full (N, tile) ±1 column
-    (middle_mode="kernel", the new default). m16 systematic pays 8
+    (middle_mode="kernel" — since r4 the mask-free split form: two
+    stage-pass kernels around one XLA refreeze). m16 systematic pays 8
     XLA stage passes (~0.1 ms of HBM each at batch 512) — the dominant
-    front cost at m >= 15 after the poly-sincos kernel B."""
+    front cost at m >= 15 after the poly-sincos kernel B. Winners per
+    level are adopted in step_kernel._MIDDLE_KERNEL_LEVELS."""
     import polar_tpu as pt
     from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
 
@@ -640,6 +643,33 @@ def stage_klcw(ms=(16, 17)):
                     llrs, iters=16)
 
 
+def stage_klcwfuse(ms=(16, 17)):
+    """Fused-kl15 A/B (VERDICT r3 next-4): boundary f/g/comb fusion is
+    receipted only for kl13 (m17-u +4.2%); kl15 hybrids shipped
+    unfused on extrapolation. Measures fused vs unfused kl15 on the
+    cw track (the systematic/codeword decoder everyone calls,
+    ``/root/reference/polar_decoder.hh:131``) and the u track."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for out, v in (("codeword", 110), ("u", 64)):
+            for fuse in (False, True):
+                measure(
+                    f"m{m}-hybrid{'cw' if out != 'u' else 'u'}-kl15-"
+                    f"fuse{int(fuse)}-v{v}",
+                    lambda f=fuse, vv=v, o=out, c=code:
+                        pt.make_fastssc_decoder(
+                            c, output=o, output_dtype=jnp.int8,
+                            kernel_level=15, kernel_frame_tile=128,
+                            kernel_fuse=f, kernel_vmem_limit_mb=vv),
+                    llrs, iters=16)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -767,6 +797,7 @@ STAGES = {
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
     "klcw": stage_klcw,
+    "klcwfuse": stage_klcwfuse,
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
     "vmem3": stage_vmem3,
