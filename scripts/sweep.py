@@ -670,6 +670,170 @@ def stage_klcwfuse(ms=(16, 17)):
                     llrs, iters=16)
 
 
+def stage_interp(ms=(13, 15, 16), kls=(8, 10)):
+    """The interpreter-style kernel (program-size diet) on chip:
+    decode+count at the sizes whose unrolled twins can't compile
+    (m15/m16, receipt m15-decodecount-t128 HTTP-413), plus m13 as the
+    known-baseline sanity point (unrolled decode_count = 3.56M).
+    Records build (trace+compile) time — the diet's second claim."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.interp_kernel import make_interp_decode_count
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        front = make_pallas_front_blocks(code, frame_tile=128,
+                                         block_level=min(13, m - 1),
+                                         systematic=True)
+        llr_t, cw_t = jax.jit(lambda k, f=front, b=batch: f(k, 0.5, b))(
+            jax.random.PRNGKey(5))
+
+        def perturbed(k, a):
+            d = jax.random.key_data(k).reshape(-1)[0].astype(jnp.int8)
+            return a + d
+
+        for kl in kls:
+            name = f"m{m}-interp-decodecount-kl{kl}"
+
+            def run(kl=kl, name=name):
+                t0 = time.perf_counter()
+                dc = make_interp_decode_count(code, subtree_level=kl,
+                                              frame_tile=128)
+                cnt = dc(llr_t, cw_t)   # first call: trace+compile
+                first = int(cnt["uncorrected_errors"])
+                build_s = time.perf_counter() - t0
+                measure_keyed(name,
+                              lambda k, f=dc, a=llr_t, b=cw_t:
+                                  f(perturbed(k, a), b),
+                              batch, extra={"build_s": round(build_s, 1),
+                                            "errs": first})
+
+            guard(name, run)
+
+
+def stage_interp17(kls=(10, 12)):
+    """Whole-code m17 via the interpreter kernel: the unrolled SSA
+    m17 would need ~183M VMEM (> chip); the interpreter's int8 pyramid
+    fits (~100M for u output). Beats VERDICT r3 next-5's two-kernel
+    split idea if it lands. Baseline to beat: hybrid kl15 v64 147.6K
+    (u), extrapolated kl15-cw (cw)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.interp_kernel import make_interp_decoder
+
+    m, batch = 17, 256
+    code = pt.make_code(m, rate=0.5)
+    llrs = llr_batch(code, batch)
+    for out, v in (("u", 110), ("codeword", 110)):
+        for kl in kls:
+            measure(f"m{m}-interp-{'u' if out == 'u' else 'cw'}-kl{kl}-v{v}",
+                    lambda k=kl, vv=v, o=out, c=code: make_interp_decoder(
+                        c, subtree_level=k, frame_tile=128, output=o,
+                        vmem_limit_mb=vv),
+                    llrs, iters=8)
+
+
+def stage_packprobe(rows=2048, tile=256, chain=64):
+    """Lane-packing probe (VERDICT r3 next-7, the 'only remaining 2x
+    lever'): can two int8 frames per 32-bit VPU lane beat the native
+    one-value-per-lane kernel? int16 lanes crash Mosaic and bf16 packs
+    nothing (r2 receipts), so the remaining route is SWAR — two 16-bit
+    fields per uint32 with mask arithmetic.
+
+    The probe measures the CHEAPEST compare-class SWAR op (unsigned
+    per-field min, ~9 VPU ops for 2 fields: borrow-mask form
+    d=(A|0x80008000)-(B&0x7FFF7FFF)) against the native f-op chain
+    (sign-free min-sum, ~5 ops for 1 value) on equal element counts.
+    min/sign/clip dominate the decode kernel, so if SWAR-min's
+    per-element rate loses to native-f, packing is conclusively dead —
+    the decision VERDICT asks to receipt either way."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def native_kernel(x_ref, y_ref, o_ref):
+        # chained native f ops: sign-free min-sum on f32 (the real
+        # kernel's dominant op mix: 2 abs + min + mul + clip-sign + mul)
+        x, y = x_ref[...], y_ref[...]
+        one = jnp.float32(1.0)
+        for _ in range(chain):
+            fabs = jnp.minimum(jnp.abs(x), jnp.abs(y))
+            y = jnp.clip(x * y, -one, one) * fabs
+            x = x + one
+        o_ref[...] = y
+
+    def swar_kernel(x_ref, y_ref, o_ref):
+        # chained SWAR per-field unsigned mins (two uint16 magnitude
+        # fields per uint32 lane) — the cheapest compare-class SWAR op;
+        # a full SWAR f would add sign handling on top.
+        H = jnp.uint32(0x80008000)
+        L = jnp.uint32(0x7FFF7FFF)
+        ONE2 = jnp.uint32(0x00010001)
+        x, y = x_ref[...], y_ref[...]
+        for _ in range(chain):
+            d = (x | H) - (y & L)
+            m = jnp.right_shift(d, 15) & ONE2
+            m = (m << 16) - m          # per-field 0xFFFF where x >= y
+            y = (y & m) | (x & ~m)
+            x = x + ONE2
+        o_ref[...] = y
+
+    def build(kernel, dtype):
+        def call(x, y):
+            return pl.pallas_call(
+                kernel,
+                grid=(x.shape[1] // tile,),
+                in_specs=[pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(x, y)
+        return call
+
+    rng = np.random.default_rng(9)
+    batch = tile * 8
+    xf = jnp.asarray(rng.integers(-100, 100, (rows, batch)).astype(np.float32))
+    yf = jnp.asarray(rng.integers(-100, 100, (rows, batch)).astype(np.float32))
+    xu = jnp.asarray(rng.integers(0, 1 << 15, (rows, batch),
+                                  dtype=np.int64).astype(np.uint32)
+                     | (rng.integers(0, 1 << 15, (rows, batch),
+                                     dtype=np.int64).astype(np.uint32) << 16))
+    yu = jnp.asarray(rng.integers(0, 1 << 15, (rows, batch),
+                                  dtype=np.int64).astype(np.uint32)
+                     | (rng.integers(0, 1 << 15, (rows, batch),
+                                     dtype=np.int64).astype(np.uint32) << 16))
+
+    nat = build(native_kernel, jnp.float32)
+    swar = build(swar_kernel, jnp.uint32)
+    # chained-op throughput in (values × chain-ops)/s — SWAR carries 2
+    # values per lane, native 1
+    els = rows * batch * chain
+    for name, fn, a, b, mult in (("packprobe-native-f", nat, xf, yf, 1),
+                                 ("packprobe-swar-min", swar, xu, yu, 2)):
+        def run(name=name, fn=fn, a=a, b=b, mult=mult):
+            g = jax.jit(lambda u, v: jnp.sum(
+                fn(u, v).astype(jnp.float32)).astype(jnp.float32))
+            measure_keyed(name,
+                          lambda k, aa=a, bb=b: g(
+                              aa + jax.random.key_data(k)[0].astype(aa.dtype),
+                              bb),
+                          els * mult)
+        guard(name, run)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -798,6 +962,9 @@ STAGES = {
     "klladder": stage_klladder,
     "klcw": stage_klcw,
     "klcwfuse": stage_klcwfuse,
+    "interp": stage_interp,
+    "interp17": stage_interp17,
+    "packprobe": stage_packprobe,
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
     "vmem3": stage_vmem3,
