@@ -301,8 +301,11 @@ def make_fastssc_decoder(
     ``(batch, N)`` inputs; the batch is padded internally to a multiple
     of ``kernel_frame_tile`` (any batch size works, matching the plain
     Pallas decoder's contract). ``kernel_style``: ``"ssa"`` (default,
-    value-passing kernel body — measured faster) or ``"scratch"``
-    (explicit VMEM pyramid); bit-identical outputs.
+    value-passing kernel body — measured faster), ``"scratch"``
+    (explicit VMEM pyramid), or ``"interp"`` (the program-size-diet
+    interpreter body, :mod:`~polar_tpu.ops.pallas.interp_kernel` —
+    compiles in seconds where big unrolled subtree kernels take tens of
+    minutes, enabling kernel levels above 15); bit-identical outputs.
 
     ``kernel_fuse`` (SSA only): boundary fusion — kernel-eligible LEFT
     children absorb their parent's f op (input = the parent's soft slot,
@@ -322,6 +325,8 @@ def make_fastssc_decoder(
         tree = compile_code(code)
     if output not in ("u", "systematic", "codeword", "both"):
         raise ValueError(f"unknown output mode {output!r}")
+    if kernel_style == "interp" and kernel_fuse:
+        raise ValueError("the interp kernel style has no boundary fusion")
     info = code.info_indices
 
     kernel_for = {"frame": None, "lane": None}
@@ -330,7 +335,7 @@ def make_fastssc_decoder(
     # XLA re-encode — each kernel emits its cw block in VMEM and the few
     # upper XLA levels combine them node-wise. Bit-exact either way.
     use_fused_cw = output != "u" and kernel_level is not None \
-        and kernel_style == "ssa"
+        and kernel_style in ("ssa", "interp")
     # with the fused cw track, "systematic"/"codeword" outputs never read
     # the message blocks — the kernels skip the dead u stores
     kernel_emit_u = not use_fused_cw or output == "both"
@@ -360,18 +365,33 @@ def make_fastssc_decoder(
                     # distinct patterns
                     import jax as _jax
 
-                    cache[key] = _jax.jit(make_subtree_decoder(
-                        node,
-                        frame_tile=kernel_frame_tile,
-                        compute_dtype=kdtype,
-                        interpret=kernel_interpret,
-                        style=kernel_style,
-                        emit_cw=use_fused_cw,
-                        emit_u=kernel_emit_u,
-                        layout=layout,
-                        fuse=fuse,
-                        vmem_limit_mb=kernel_vmem_limit_mb,
-                    ))
+                    if kernel_style == "interp":
+                        from ..ops.pallas.interp_kernel import \
+                            make_interp_subtree
+
+                        cache[key] = _jax.jit(make_interp_subtree(
+                            node,
+                            frame_tile=kernel_frame_tile,
+                            compute_dtype=kdtype,
+                            interpret=kernel_interpret,
+                            emit_cw=use_fused_cw,
+                            emit_u=kernel_emit_u,
+                            layout=layout,
+                            vmem_limit_mb=kernel_vmem_limit_mb,
+                        ))
+                    else:
+                        cache[key] = _jax.jit(make_subtree_decoder(
+                            node,
+                            frame_tile=kernel_frame_tile,
+                            compute_dtype=kdtype,
+                            interpret=kernel_interpret,
+                            style=kernel_style,
+                            emit_cw=use_fused_cw,
+                            emit_u=kernel_emit_u,
+                            layout=layout,
+                            fuse=fuse,
+                            vmem_limit_mb=kernel_vmem_limit_mb,
+                        ))
                 return cache[key]
 
             return subtree_kernel_for

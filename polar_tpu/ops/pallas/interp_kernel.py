@@ -250,8 +250,8 @@ class _Program:
             self.branches.items(), key=lambda kv: kv[1][0])]
 
 
-def _build_program(tree: Node, kl: int, want_cw: bool,
-                   want_u: bool) -> _Program:
+def _build_program(tree: Node, kl: int, want_cw: bool, want_u: bool,
+                   root_need_hard: bool = False) -> _Program:
     """Trace-time tree walk → step program + branch table. The walk is
     the reference compiler's recursion (``polar_compiler.hh:21-49``)
     with the decoder's pointer bookkeeping resolved into per-step
@@ -294,7 +294,7 @@ def _build_program(tree: Node, kl: int, want_cw: bool,
         else:  # pragma: no cover
             raise AssertionError(node.kind)
 
-    walk(tree, 0, safe=False, need_hard=False)
+    walk(tree, 0, safe=False, need_hard=root_need_hard)
     return prog
 
 
@@ -336,7 +336,7 @@ def make_interp_decoder(
     want_cw = output != "u"
     want_u = output in ("u", "both")
     prog = _build_program(tree, kl, want_cw, want_u)
-    words = jnp.asarray(prog.words(kl))
+    words_np = prog.words(kl)
     kernel = functools.partial(
         _interp_kernel_entry, prog, n, kl, compute_dtype, want_cw, want_u,
         False, None)
@@ -365,10 +365,10 @@ def make_interp_decoder(
                 vmem_limit_bytes=(vmem_limit_mb << 20)
                 if vmem_limit_mb else None),
             interpret=interpret,
-        )(words, llr_t)
+        )(jnp.asarray(words_np), llr_t)
         return out
 
-    info = jnp.asarray(np.flatnonzero(code.frozen == 0))
+    info_np = np.flatnonzero(code.frozen == 0)
 
     def decode(llrs):
         if llrs.ndim != 2:
@@ -379,13 +379,13 @@ def make_interp_decoder(
             llrs = jnp.pad(llrs, ((0, pad), (0, 0)))
         out = call(llrs.T)
         if output == "u":
-            return out[0][info, :].T[:b].astype(output_dtype)
+            return out[0][jnp.asarray(info_np), :].T[:b].astype(output_dtype)
         if output == "codeword":
             return out[0].T[:b].astype(output_dtype)
         if output == "systematic":
-            return out[0][info, :].T[:b].astype(output_dtype)
+            return out[0][jnp.asarray(info_np), :].T[:b].astype(output_dtype)
         u_t, cw_t = out
-        return (u_t[info, :].T[:b].astype(output_dtype),
+        return (u_t[jnp.asarray(info_np), :].T[:b].astype(output_dtype),
                 cw_t.T[:b].astype(output_dtype))
 
     def decode_lane_major(llr_t):
@@ -397,12 +397,12 @@ def make_interp_decoder(
                              f"frame_tile {frame_tile}")
         out = call(llr_t)
         if output == "u":
-            return out[0][info, :]
+            return out[0][jnp.asarray(info_np), :]
         if output == "codeword":
             return out[0]
         if output == "systematic":
-            return out[0][info, :]
-        return out[0][info, :], out[1]
+            return out[0][jnp.asarray(info_np), :]
+        return out[0][jnp.asarray(info_np), :], out[1]
 
     decode.lane_major = decode_lane_major
     decode.program_steps = len(prog.steps)
@@ -494,10 +494,9 @@ def make_interp_decode_count(
         raise ValueError("frame_tile must be a multiple of 128")
     kl = min(subtree_level, code.level)
     prog = _build_program(tree, kl, want_cw=True, want_u=False)
-    words = jnp.asarray(prog.words(kl))
-    mask = jnp.asarray(
-        np.broadcast_to(np.asarray(code.frozen, np.int8).reshape(n, 1),
-                        (n, 128)).copy())
+    words_np = prog.words(kl)
+    mask_np = np.broadcast_to(
+        np.asarray(code.frozen, np.int8).reshape(n, 1), (n, 128)).copy()
     kernel = functools.partial(
         _interp_kernel_entry, prog, n, kl, compute_dtype, True, False,
         True, None)
@@ -531,7 +530,7 @@ def make_interp_decode_count(
                 vmem_limit_bytes=(vmem_limit_mb << 20)
                 if vmem_limit_mb else None),
             interpret=interpret,
-        )(words, llr_t, cw_t, mask)
+        )(jnp.asarray(words_np), llr_t, cw_t, jnp.asarray(mask_np))
         t = jnp.sum(out, axis=0)
         return {
             "uncorrected_errors": t[0],
@@ -542,3 +541,141 @@ def make_interp_decode_count(
         }
 
     return count
+
+
+def _info_positions(node: Node, pos: int = 0) -> list:
+    """u-domain info-bit positions of a subtree, ascending — the mesg
+    emission order (in-order traversal ≡ ascending u position)."""
+    s = 1 << node.level
+    if node.kind == "rate0":
+        return []
+    if node.kind == "rate1":
+        return list(range(pos, pos + s))
+    if node.kind == "rep":
+        return [pos + s - 1]
+    if node.kind == "spc":
+        return list(range(pos + 1, pos + s))
+    half = s >> 1
+    if node.kind == "rate0_right":
+        return _info_positions(node.right, pos + half)
+    if node.kind == "rate1_comb":
+        return (_info_positions(node.left, pos)
+                + list(range(pos + half, pos + s)))
+    return (_info_positions(node.left, pos)
+            + _info_positions(node.right, pos + half))
+
+
+def _interp_subtree_kernel(prog, n, kl, cdtype, emit_u, emit_cw,
+                           prog_ref, llr_ref, *refs):
+    refs = list(refs)
+    u_buf = refs.pop(0) if emit_u else None
+    hard = refs.pop(0)
+    cw_buf = refs.pop(0) if emit_cw else None
+    soft = refs.pop(0)
+    env = _Env(soft, hard, cw_buf, u_buf, cdtype)
+    soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
+    if prog.ones_init:
+        hard[...] = jnp.ones_like(hard)
+        if cw_buf is not None:
+            cw_buf[...] = jnp.ones_like(cw_buf)
+        if u_buf is not None:
+            u_buf[...] = jnp.ones_like(u_buf)
+    branches = [mk(env) for mk in prog.makes()]
+
+    def body(i, c):
+        w = prog_ref[i]
+        if len(branches) == 1:
+            branches[0]((w >> 16) << kl)
+        else:
+            jax.lax.switch(jnp.bitwise_and(w, 0xFFFF), branches,
+                           (w >> 16) << kl)
+        return c
+
+    jax.lax.fori_loop(0, len(prog.steps), body, jnp.int32(0))
+
+
+def make_interp_subtree(
+    node: Node,
+    *,
+    frame_tile: int = 128,
+    compute_dtype=jnp.float32,
+    storage_dtype=jnp.int8,
+    interpret: bool = False,
+    emit_cw: bool = False,
+    emit_u: bool = True,
+    layout: str = "frame",
+    subtree_level: int = 10,
+    vmem_limit_mb: int | None = None,
+):
+    """Interpreter twin of :func:`.decoder_kernel.make_subtree_decoder`
+    (same output contract: ``(u?, hard, cw?)`` blocks; no boundary
+    fusion) for the hybrid decoder's kernel-resident subtrees. The SSA
+    subtree kernels above level 15 are compile-bound (kl15 builds ran
+    ~15-25 min through the relay); the interpreter form's O(distinct
+    bodies) program makes level-16/17 kernel-resident subtrees
+    practical — each extra level halves the XLA top's depth and its
+    per-level HBM passes. The u output is gathered from the aligned
+    u-domain buffer OUTSIDE the kernel (one XLA gather per call site).
+    Bit-exact with the SSA subtree kernels (tests)."""
+    n = 1 << node.level
+    k = node.mesg_bits
+    if k < 1:
+        raise ValueError("kernelize only nodes that emit message bits")
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+    kl = min(subtree_level, node.level)
+    prog = _build_program(node, kl, want_cw=emit_cw, want_u=emit_u,
+                          root_need_hard=True)
+    # numpy at build time: this builder runs INSIDE the hybrid's trace,
+    # and jnp constants created under one trace leak into later ones
+    words_np = prog.words(kl)
+    kernel = functools.partial(_interp_subtree_kernel, prog, n, kl,
+                               compute_dtype, emit_u, emit_cw)
+    out_rows = ((n,) if emit_u else ()) + (n,) + ((n,) if emit_cw else ())
+    info_np = np.asarray(_info_positions(node), np.int32)
+    assert info_np.shape[0] == k
+
+    def call(llr_t):
+        bt = frame_tile
+        blk = lambda: pl.BlockSpec((n, bt), lambda i: (0, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(llr_t.shape[1] // bt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk()],
+            out_specs=tuple(blk() for _ in out_rows),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((r, llr_t.shape[1]), jnp.int8)
+                for r in out_rows),
+            scratch_shapes=[pltpu.VMEM((2 * n, frame_tile), storage_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+                if interpret else ("parallel",),
+                vmem_limit_bytes=(vmem_limit_mb << 20)
+                if vmem_limit_mb else None),
+            interpret=interpret,
+        )(jnp.asarray(words_np), llr_t)
+        if emit_u:
+            return (out[0][jnp.asarray(info_np), :],) + tuple(out[1:])
+        return out
+
+    if layout == "lane":
+        def decode_lane(llr_t):
+            if llr_t.shape[0] != n or llr_t.shape[1] % frame_tile:
+                raise ValueError(
+                    f"lane layout expects ({n}, B) input with B a "
+                    f"multiple of frame_tile {frame_tile}")
+            return call(llr_t)
+
+        return decode_lane
+    if layout != "frame":
+        raise ValueError(f"unknown layout {layout!r}")
+
+    def decode(llr):
+        if llr.shape[0] % frame_tile:
+            raise ValueError(
+                f"batch {llr.shape[0]} not a multiple of frame_tile "
+                f"{frame_tile} (pad the batch once at the top level)")
+        return tuple(o.T for o in call(llr.T))
+
+    return decode

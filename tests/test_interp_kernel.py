@@ -128,3 +128,38 @@ def test_interp_decode_count_matches_unrolled():
         assert int(got[k]) == int(ref[k]), k
     # and the counters are non-trivial at this noise level
     assert int(got["awgn_errors"]) > 0
+
+
+@pytest.mark.parametrize("output", ["u", "codeword"])
+def test_interp_hybrid_matches_ssa_hybrid(output):
+    """kernel_style='interp' subtree kernels inside the hybrid decoder
+    must be bit-identical to the SSA subtree kernels (and therefore to
+    the reference) on every output track."""
+    code = pt.make_code(9, rate=0.5)
+    llr = _edge_llrs(code, 128, seed=23)
+    kw = dict(output=output, output_dtype=jnp.int8, kernel_level=6,
+              kernel_frame_tile=128, kernel_interpret=True)
+    ref = np.asarray(make_fastssc_decoder(code, kernel_style="ssa",
+                                          **kw)(llr))
+    got = np.asarray(make_fastssc_decoder(code, kernel_style="interp",
+                                          **kw)(llr))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_interp_hybrid_lane_major():
+    code = pt.make_code(9, rate=0.5)
+    llr = _edge_llrs(code, 128, seed=29)
+    kw = dict(output="codeword", output_dtype=jnp.int8, kernel_level=6,
+              kernel_frame_tile=128, kernel_interpret=True)
+    ref = np.asarray(make_fastssc_decoder(code, kernel_style="ssa",
+                                          **kw)(llr))
+    got_t = make_fastssc_decoder(code, kernel_style="interp",
+                                 **kw).lane_major(llr.T)
+    np.testing.assert_array_equal(np.asarray(got_t).T, ref)
+
+
+def test_interp_subtree_rejects_fuse():
+    code = pt.make_code(8, rate=0.5)
+    with pytest.raises(ValueError):
+        make_fastssc_decoder(code, kernel_level=5, kernel_style="interp",
+                             kernel_fuse=True)
