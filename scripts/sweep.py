@@ -741,6 +741,67 @@ def stage_interp17(kls=(10, 12)):
                     llrs, iters=8)
 
 
+def stage_biginterp(ms=(18,), kls=(16, 17)):
+    """Deep-frontier hybrids with interpreter subtree kernels: each
+    kernel level above 15 halves the XLA top's depth and its per-level
+    HBM passes, and the interp bodies compile in minutes where SSA
+    kl15 took ~15-25 (receipts klladder r3). Baselines: m18-u kl15-v64
+    61.2K fps; m17-u kl15-v64 147.6K."""
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(128, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        llrs = llr_batch(code, batch)
+        for kl in kls:
+            v = 110 if kl >= 17 else 64
+            measure(f"m{m}-hybrid-interpkl{kl}-t128-v{v}",
+                    lambda k=kl, vv=v, c=code: pt.make_fastssc_decoder(
+                        c, output_dtype=jnp.int8, kernel_level=k,
+                        kernel_style="interp", kernel_frame_tile=128,
+                        kernel_vmem_limit_mb=vv),
+                    llrs, iters=8)
+
+
+def stage_bigm_interp(m=23, batch=8, kl=17):
+    """Frontier rung via the interpreter hybrid (VERDICT r3 next-6):
+    noiseless round-trip at m=23 (N=8,388,608) with interp subtree
+    kernels at level 17 — the unrolled-kernel ladder's compile time
+    doubled per level (m22: 4134 s first call through kl13)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import polar_tpu as pt
+
+    def run():
+        code = pt.make_code(m, rate=0.5)
+        rng = np.random.default_rng(7)
+        msg = (1 - 2 * rng.integers(0, 2, (batch, code.K))).astype(np.int8)
+        cw = pt.encode(code, jnp.asarray(msg))
+        llr = (cw.astype(jnp.int8) * jnp.int8(96)).astype(jnp.int8)
+        del cw
+        dec = jax.jit(pt.make_fastssc_decoder(
+            code, output_dtype=jnp.int8, kernel_level=kl,
+            kernel_style="interp", kernel_frame_tile=128,
+            kernel_vmem_limit_mb=110))
+        t0 = time.perf_counter()
+        out = np.asarray(dec(llr))
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out2 = np.asarray(dec(llr))
+        t_second = time.perf_counter() - t0
+        log({"cfg": f"m{m}-probe-interpkl{kl}", "noiseless_roundtrip":
+             bool(np.array_equal(out, msg) and np.array_equal(out2, msg)),
+             "first_call_s": round(t_first, 1),
+             "steady_call_s": round(t_second, 2),
+             "frames": batch, "ts": time.time()})
+
+    guard(f"m{m}-probe-interpkl{kl}", run)
+
+
 def stage_packprobe(rows=2048, tile=256, chain=64):
     """Lane-packing probe (VERDICT r3 next-7, the 'only remaining 2x
     lever'): can two int8 frames per 32-bit VPU lane beat the native
@@ -965,6 +1026,8 @@ STAGES = {
     "interp": stage_interp,
     "interp17": stage_interp17,
     "packprobe": stage_packprobe,
+    "biginterp": stage_biginterp,
+    "bigminterp": stage_bigm_interp,
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
     "vmem3": stage_vmem3,
