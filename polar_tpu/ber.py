@@ -95,6 +95,12 @@ def _front_decode_cfg(level: int, u_output: bool) -> tuple[int, int, int | None]
     return min(13, level - 1), 128, None
 
 
+# interpreter-kernel decode+count (ops/pallas/interp_kernel.py) for the
+# systematic levels whose UNROLLED decode_count kernels cannot compile
+# (m >= 15: receipt m15-decodecount-t128 HTTP-413). Levels enter this
+# set only with a passing steprate receipt (sweep --stage interp);
+# values are (subtree_level, vmem_limit_mb).
+_INTERP_COUNT_LEVELS: dict = {}
 # whole-code u-output kernels are the decode champions to m=16 under
 # raised Mosaic VMEM budgets (receipts m14/15/16-wholecode-ssa-t128-v*);
 # the non-systematic front decodes u, so it rides them directly
@@ -174,6 +180,16 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 decode_count = make_pallas_decode_count(
                     code, frame_tile=128, interpret=rng_interpret,
                     vmem_limit_mb=_DECODE_COUNT_VMEM.get(code.level))
+            elif systematic and code.level in _INTERP_COUNT_LEVELS:
+                # the interpreter twin covers the levels whose unrolled
+                # decode_count kernels exceed the compile relay's
+                # program-size limit
+                from .ops.pallas.interp_kernel import \
+                    make_interp_decode_count
+                ikl, ivmem = _INTERP_COUNT_LEVELS[code.level]
+                decode_count = make_interp_decode_count(
+                    code, frame_tile=128, interpret=rng_interpret,
+                    subtree_level=ikl, vmem_limit_mb=ivmem)
             elif not systematic \
                     and code.level <= _FRONT_U_WHOLE_MAX_LEVEL:
                 # non-systematic decode is u-output: the whole-code SSA

@@ -163,3 +163,26 @@ def test_interp_subtree_rejects_fuse():
     with pytest.raises(ValueError):
         make_fastssc_decoder(code, kernel_level=5, kernel_style="interp",
                              kernel_fuse=True)
+
+
+def test_interp_count_step_path_matches_default(monkeypatch):
+    """make_step_body's interp decode+count branch (large systematic
+    levels whose unrolled decode_count can't compile) must count
+    bit-identically to the default decode_count path on the same key
+    in bits mode."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(9, rate=0.5)
+    monkeypatch.setattr(ber, "_FRONT_WHOLE_MAX_LEVEL", 5)
+    default = ber.make_step_body(code, rng="pallas-bits",
+                                 rng_interpret=True)
+    monkeypatch.setattr(ber, "_DECODE_COUNT_MAX_LEVEL", 5)
+    monkeypatch.setattr(ber, "_INTERP_COUNT_LEVELS", {9: (5, None)})
+    interp = ber.make_step_body(code, rng="pallas-bits",
+                                rng_interpret=True)
+    for k, snr in [(0, 14.0), (3, -1.0)]:
+        a = {n: int(v)
+             for n, v in default(jax.random.PRNGKey(k), snr, 256).items()}
+        b = {n: int(v)
+             for n, v in interp(jax.random.PRNGKey(k), snr, 256).items()}
+        assert a == b, (snr, a, b)
