@@ -186,3 +186,24 @@ def test_interp_count_step_path_matches_default(monkeypatch):
         b = {n: int(v)
              for n, v in interp(jax.random.PRNGKey(k), snr, 256).items()}
         assert a == b, (snr, a, b)
+
+
+def test_interp_oracle_parity():
+    """DIRECT oracle parity for the interpreter kernel (not just
+    transitively via the XLA decoder): bit-exact int8 u output vs the
+    reference SIMD decoder on random full-range LLRs."""
+    import sys
+    sys.path.insert(0, "tests")
+    import oracle
+    if not oracle.have_reference():
+        pytest.skip("/root/reference not mounted")
+    m = 9
+    rng = np.random.default_rng(31)
+    code = pt.make_code(m, rate=0.5)
+    w = oracle.width()
+    llr = rng.integers(-128, 128, (w, code.N)).astype(np.int8)
+    # pad to the frame tile, slice back (the decoder does it internally)
+    ref = oracle.decode(m, code.frozen, llr)
+    got = np.asarray(make_interp_decoder(
+        code, subtree_level=5, interpret=True)(jnp.asarray(llr)))
+    np.testing.assert_array_equal(got, ref)
