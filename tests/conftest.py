@@ -85,6 +85,10 @@ _SLOW = {
     "test_front_blocks_nonsys_inject_exact",
     "test_sharded_point_reproducible",
     "test_codeword_output_is_reencoded_u",
+    "test_interp_count_step_path_matches_default",
+    "test_interp_subtree_level_invariance",
+    "test_interp_hybrid_matches_ssa_hybrid",
+    "test_interp_hybrid_lane_major",
 }
 
 
