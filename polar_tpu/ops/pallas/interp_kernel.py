@@ -74,12 +74,21 @@ class _Env:
     cw: object | None       # (N, T) int8 — re-encoded codeword track
     u: object | None        # (N, T) int8 — full u-domain estimate
     cdtype: object = jnp.float32
+    align: int = 1          # every dynamic row offset is a multiple of
+                            # 2^subtree_level (walk invariant) — Mosaic
+                            # can't see that through the lax.switch
+                            # boundary, so ds() re-asserts it
+
+    def ds(self, start, rows):
+        if not isinstance(start, (int, np.integer)):
+            start = pl.multiple_of(start, self.align)
+        return pl.ds(start, rows)
 
     def ld(self, ref, start, rows):
-        return ref[pl.ds(start, rows), :].astype(self.cdtype)
+        return ref[self.ds(start, rows), :].astype(self.cdtype)
 
     def st(self, ref, start, val):
-        ref[pl.ds(start, val.shape[0]), :] = val.astype(ref.dtype)
+        ref[self.ds(start, val.shape[0]), :] = val.astype(ref.dtype)
 
 
 # --- chain branches (the per-level template ladder) -------------------
@@ -153,9 +162,9 @@ def _mk_comb0(level, do_hard, do_cw):
     def make(env):
         def fn(p):
             if do_hard:
-                env.hard[pl.ds(p, h), :] = env.hard[pl.ds(p + h, h), :]
+                env.hard[env.ds(p, h), :] = env.hard[env.ds(p + h, h), :]
             if do_cw:
-                env.cw[pl.ds(p, h), :] = env.cw[pl.ds(p + h, h), :]
+                env.cw[env.ds(p, h), :] = env.cw[env.ds(p + h, h), :]
             return jnp.int32(0)
         return fn
     return make
@@ -434,7 +443,7 @@ def _interp_core(prog, n, kl, cdtype, want_cw, want_u, count, frozen_col,
         soft, hard = refs[want_u + want_cw:]
         u_buf = outs[0] if want_u else None
         cw_buf = outs[-1] if want_cw else None
-    env = _Env(soft, hard, cw_buf, u_buf, cdtype)
+    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=1 << kl)
 
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
     if prog.ones_init or want_u:
@@ -572,7 +581,7 @@ def _interp_subtree_kernel(prog, n, kl, cdtype, emit_u, emit_cw,
     hard = refs.pop(0)
     cw_buf = refs.pop(0) if emit_cw else None
     soft = refs.pop(0)
-    env = _Env(soft, hard, cw_buf, u_buf, cdtype)
+    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=1 << kl)
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
     if prog.ones_init:
         hard[...] = jnp.ones_like(hard)

@@ -802,7 +802,11 @@ def stage_bigm_interp(m=23, batch=8, kl=17):
     guard(f"m{m}-probe-interpkl{kl}", run)
 
 
-def stage_packprobe(rows=2048, tile=256, chain=64):
+def stage_packprobe(rows=1024, tile=256, chain=64):
+    # rows=2048 OOM'd: XLA stages the full (rows, 8*tile) output on the
+    # VMEM stack around the custom call (receipt packprobe-native-f,
+    # 18M > the 16M scoped limit); 1024 rows fits with margin and the
+    # probe compares per-element rates at equal element counts anyway.
     """Lane-packing probe (VERDICT r3 next-7, the 'only remaining 2x
     lever'): can two int8 frames per 32-bit VPU lane beat the native
     one-value-per-lane kernel? int16 lanes crash Mosaic and bf16 packs
