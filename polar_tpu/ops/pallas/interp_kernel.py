@@ -75,9 +75,12 @@ class _Env:
     u: object | None        # (N, T) int8 — full u-domain estimate
     cdtype: object = jnp.float32
     align: int = 1          # every dynamic row offset is a multiple of
-                            # 2^subtree_level (walk invariant) — Mosaic
-                            # can't see that through the lax.switch
-                            # boundary, so ds() re-asserts it
+                            # min(2^subtree_level, _CHAIN_CHUNK_ROWS):
+                            # step positions are multiples of
+                            # 2^subtree_level (walk invariant) and chain
+                            # chunk offsets of _CHAIN_CHUNK_ROWS — Mosaic
+                            # can't see either through the lax.switch
+                            # boundary, so ds() re-asserts the gcd
 
     def ds(self, start, rows):
         if not isinstance(start, (int, np.integer)):
@@ -98,16 +101,35 @@ class _Env:
 # the SSA kernels': f ``polar_decoder.hh:28-35``, g ``36-43``,
 # rate0_right's qadd ``44-51``, combine ``52-59``, rate0_comb ``60-67``,
 # rate1_comb ``76-84``.
+#
+# Chain ops are ELEMENTWISE across their h rows, so they process row
+# CHUNKS of at most _CHAIN_CHUNK_ROWS (a static Python loop — offsets
+# stay trace-time constants relative to p). Unchunked, a level-16 f
+# holds ~6 live (32768, 128) vectors and Mosaic's register allocator
+# spills 64M to the scoped stack (receipt m16-interp-decodecount-kl8:
+# 136M > the 128M chip); chunking bounds the live set per chunk while
+# emitting identical math. grate1/subtree bodies are NOT chunked (the
+# transform couples rows); they only occur at low levels.
+
+_CHAIN_CHUNK_ROWS = 2048
+
+
+def _chunks(h):
+    c = min(h, _CHAIN_CHUNK_ROWS)
+    return [(off, c) for off in range(0, h, c)]
+
 
 def _mk_f(level, safe):
     s, h = 1 << level, 1 << (level - 1)
 
     def make(env):
         def fn(p):
-            a, b = env.ld(env.soft, s, h), env.ld(env.soft, s + h, h)
-            ap, bp = _guard(a, safe), _guard(b, safe)
-            fabs = jnp.minimum(jnp.abs(ap), jnp.abs(bp))
-            env.st(env.soft, h, _isign(a * b) * fabs)
+            for off, c in _chunks(h):
+                a = env.ld(env.soft, s + off, c)
+                b = env.ld(env.soft, s + h + off, c)
+                ap, bp = _guard(a, safe), _guard(b, safe)
+                fabs = jnp.minimum(jnp.abs(ap), jnp.abs(bp))
+                env.st(env.soft, h + off, _isign(a * b) * fabs)
             return jnp.int32(0)
         return fn
     return make
@@ -118,9 +140,11 @@ def _mk_g(level, safe):
 
     def make(env):
         def fn(p):
-            a, b = env.ld(env.soft, s, h), env.ld(env.soft, s + h, h)
-            hl = env.ld(env.hard, p, h)
-            env.st(env.soft, h, _sat_g(hl, _guard(a, safe), b))
+            for off, c in _chunks(h):
+                a = env.ld(env.soft, s + off, c)
+                b = env.ld(env.soft, s + h + off, c)
+                hl = env.ld(env.hard, p + off, c)
+                env.st(env.soft, h + off, _sat_g(hl, _guard(a, safe), b))
             return jnp.int32(0)
         return fn
     return make
@@ -132,8 +156,10 @@ def _mk_g0(level):
 
     def make(env):
         def fn(p):
-            a, b = env.ld(env.soft, s, h), env.ld(env.soft, s + h, h)
-            env.st(env.soft, h, _sat_add(a, b))
+            for off, c in _chunks(h):
+                a = env.ld(env.soft, s + off, c)
+                b = env.ld(env.soft, s + h + off, c)
+                env.st(env.soft, h + off, _sat_add(a, b))
             return jnp.int32(0)
         return fn
     return make
@@ -144,12 +170,15 @@ def _mk_comb(level, do_hard, do_cw):
 
     def make(env):
         def fn(p):
-            if do_hard:
-                hl, hr = env.ld(env.hard, p, h), env.ld(env.hard, p + h, h)
-                env.st(env.hard, p, hl * hr)
-            if do_cw:
-                cl, cr = env.ld(env.cw, p, h), env.ld(env.cw, p + h, h)
-                env.st(env.cw, p, cl * cr)
+            for off, c in _chunks(h):
+                if do_hard:
+                    hl = env.ld(env.hard, p + off, c)
+                    hr = env.ld(env.hard, p + h + off, c)
+                    env.st(env.hard, p + off, hl * hr)
+                if do_cw:
+                    cl = env.ld(env.cw, p + off, c)
+                    cr = env.ld(env.cw, p + h + off, c)
+                    env.st(env.cw, p + off, cl * cr)
             return jnp.int32(0)
         return fn
     return make
@@ -161,10 +190,13 @@ def _mk_comb0(level, do_hard, do_cw):
 
     def make(env):
         def fn(p):
-            if do_hard:
-                env.hard[env.ds(p, h), :] = env.hard[env.ds(p + h, h), :]
-            if do_cw:
-                env.cw[env.ds(p, h), :] = env.cw[env.ds(p + h, h), :]
+            for off, c in _chunks(h):
+                if do_hard:
+                    env.hard[env.ds(p + off, c), :] = \
+                        env.hard[env.ds(p + h + off, c), :]
+                if do_cw:
+                    env.cw[env.ds(p + off, c), :] = \
+                        env.cw[env.ds(p + h + off, c), :]
             return jnp.int32(0)
         return fn
     return make
@@ -443,7 +475,7 @@ def _interp_core(prog, n, kl, cdtype, want_cw, want_u, count, frozen_col,
         soft, hard = refs[want_u + want_cw:]
         u_buf = outs[0] if want_u else None
         cw_buf = outs[-1] if want_cw else None
-    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=1 << kl)
+    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=min(1 << kl, _CHAIN_CHUNK_ROWS))
 
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
     if prog.ones_init or want_u:
@@ -581,7 +613,7 @@ def _interp_subtree_kernel(prog, n, kl, cdtype, emit_u, emit_cw,
     hard = refs.pop(0)
     cw_buf = refs.pop(0) if emit_cw else None
     soft = refs.pop(0)
-    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=1 << kl)
+    env = _Env(soft, hard, cw_buf, u_buf, cdtype, align=min(1 << kl, _CHAIN_CHUNK_ROWS))
     soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
     if prog.ones_init:
         hard[...] = jnp.ones_like(hard)

@@ -700,10 +700,21 @@ def stage_interp(ms=(13, 15, 16), kls=(8, 10)):
         for kl in kls:
             name = f"m{m}-interp-decodecount-kl{kl}"
 
-            def run(kl=kl, name=name):
+            # measured scoped need: 17.02M at m13, 68.02M at m15 (OOM
+            # receipts at 16M/64M) — ~17M x N/8192: the int8 planes are
+            # only ~7M x N/8192, the rest is the top chain ops' f32
+            # temporaries. At m16 the f32 form would need ~136M > the
+            # chip; bf16 compute (bit-exact — r2 receipt) halves the
+            # temps, so m16 runs bf16.
+            vmem = {13: 32, 14: 48, 15: 96, 16: 110}.get(m, 110)
+            cdt = jnp.bfloat16 if m >= 16 else jnp.float32
+
+            def run(kl=kl, name=name, vmem=vmem, cdt=cdt):
                 t0 = time.perf_counter()
                 dc = make_interp_decode_count(code, subtree_level=kl,
-                                              frame_tile=128)
+                                              frame_tile=128,
+                                              compute_dtype=cdt,
+                                              vmem_limit_mb=vmem)
                 cnt = dc(llr_t, cw_t)   # first call: trace+compile
                 first = int(cnt["uncorrected_errors"])
                 build_s = time.perf_counter() - t0
@@ -734,9 +745,13 @@ def stage_interp17(kls=(10, 12)):
     llrs = llr_batch(code, batch)
     for out, v in (("u", 110), ("codeword", 110)):
         for kl in kls:
+            # bf16 compute: the m17 int8 planes alone are ~80M; f32
+            # chain temps would blow past physical VMEM (the f32
+            # decode_count form already needed 68M at m15)
             measure(f"m{m}-interp-{'u' if out == 'u' else 'cw'}-kl{kl}-v{v}",
                     lambda k=kl, vv=v, o=out, c=code: make_interp_decoder(
                         c, subtree_level=k, frame_tile=128, output=o,
+                        compute_dtype=jnp.bfloat16,
                         vmem_limit_mb=vv),
                     llrs, iters=8)
 

@@ -207,3 +207,22 @@ def test_interp_oracle_parity():
     got = np.asarray(make_interp_decoder(
         code, subtree_level=5, interpret=True)(jnp.asarray(llr)))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("output", ["u", "codeword"])
+def test_interp_chain_chunking(monkeypatch, output):
+    """Chain ops process row chunks at the large-N frontier (where a
+    whole-level f's live vectors would spill registers — receipt
+    m16-interp-decodecount-kl8). Force the chunk path at a small code
+    by shrinking the cap: every chain level then runs multi-chunk, and
+    the result must stay bit-identical."""
+    from polar_tpu.ops.pallas import interp_kernel
+
+    monkeypatch.setattr(interp_kernel, "_CHAIN_CHUNK_ROWS", 64)
+    code = pt.make_code(9, rate=0.5)
+    llr = _edge_llrs(code, 128, seed=99)
+    ref = np.asarray(jax.jit(make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8))(llr))
+    got = np.asarray(make_interp_decoder(
+        code, subtree_level=4, output=output, interpret=True)(llr))
+    np.testing.assert_array_equal(got, ref)
