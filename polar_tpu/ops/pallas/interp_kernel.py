@@ -23,9 +23,10 @@ on opcode, each opcode fanning to a ``switch(lvl)`` ladder of
   template ladder) and fully-unrolled SSA *subtree bodies* at or below
   it, deduplicated by frozen pattern (two level-10 subtrees with the
   same pattern share one body);
-* the kernel runs ``lax.fori_loop`` over steps with ``lax.switch``
-  over the branch table — program size is O(distinct bodies), not
-  O(tree size).
+* the kernel runs ``lax.fori_loop`` over steps with a ``pl.when``
+  chain over the branch table (NOT ``lax.switch`` — Mosaic executes
+  every arm of a side-effecting switch; receipts ``switchprobe-*``) —
+  program size is O(distinct bodies), not O(tree size).
 
 State is the reference's, verbatim: a **soft pyramid** VMEM scratch
 (level-ℓ LLR slot = rows ``[2^ℓ, 2^(ℓ+1))`` — static offsets, exactly
@@ -117,6 +118,30 @@ _CHAIN_CHUNK_ROWS = 2048
 def _chunks(h):
     c = min(h, _CHAIN_CHUNK_ROWS)
     return [(off, c) for off in range(0, h, c)]
+
+
+def _run_program(prog_ref, n_steps, branches, kl):
+    """fori_loop over step words with pl.when-chain dispatch. NOT
+    lax.switch: Mosaic lowers the side-effecting switch by executing
+    EVERY arm (receipts switchprobe-switch vs -when r4; the m15/m16
+    interp rates scaled with steps x branches, ~20-40x below
+    per-element scaling). A chain of scalar-predicated pl.when blocks
+    skips untaken arms for real."""
+
+    def body(i, c):
+        w = prog_ref[i]
+        p = (w >> 16) << kl
+        if len(branches) == 1:
+            branches[0](p)
+        else:
+            b = jnp.bitwise_and(w, 0xFFFF)
+            for bi, fn in enumerate(branches):
+                @pl.when(b == bi)
+                def _(fn=fn):
+                    fn(p)
+        return c
+
+    jax.lax.fori_loop(0, n_steps, body, jnp.int32(0))
 
 
 def _mk_f(level, safe):
@@ -487,16 +512,7 @@ def _interp_core(prog, n, kl, cdtype, want_cw, want_u, count, frozen_col,
 
     branches = [mk(env) for mk in prog.makes()]
 
-    def body(i, c):
-        w = prog_ref[i]
-        if len(branches) == 1:
-            branches[0]((w >> 16) << kl)
-        else:
-            jax.lax.switch(jnp.bitwise_and(w, 0xFFFF), branches,
-                           (w >> 16) << kl)
-        return c
-
-    jax.lax.fori_loop(0, len(prog.steps), body, jnp.int32(0))
+    _run_program(prog_ref, len(prog.steps), branches, kl)
 
     if count:
         from .step_kernel import _count_and_store
@@ -623,16 +639,7 @@ def _interp_subtree_kernel(prog, n, kl, cdtype, emit_u, emit_cw,
             u_buf[...] = jnp.ones_like(u_buf)
     branches = [mk(env) for mk in prog.makes()]
 
-    def body(i, c):
-        w = prog_ref[i]
-        if len(branches) == 1:
-            branches[0]((w >> 16) << kl)
-        else:
-            jax.lax.switch(jnp.bitwise_and(w, 0xFFFF), branches,
-                           (w >> 16) << kl)
-        return c
-
-    jax.lax.fori_loop(0, len(prog.steps), body, jnp.int32(0))
+    _run_program(prog_ref, len(prog.steps), branches, kl)
 
 
 def make_interp_subtree(

@@ -914,6 +914,85 @@ def stage_packprobe(rows=1024, tile=256, chain=64):
         guard(name, run)
 
 
+def stage_switchprobe(rows=1024, tile=128, steps=256, heavy=64):
+    """Does lax.switch inside a Mosaic kernel branch for real, or
+    execute every arm? The m15/m16 interp receipts scale with
+    steps x branches (m15-interp-decodecount-kl10 19.5K fps, ~20x below
+    per-element scaling from m13), which fits all-arms-execute. Three
+    kernels, identical fori_loop over a program whose words all select
+    the CHEAP arm: (a) lax.switch dispatch, (b) pl.when-chain dispatch,
+    (c) no dispatch (cheap op inline). If (a) ~ (c): switch branches
+    for real and the interp slowness is elsewhere. If (a) ~ heavy x (c)
+    and (b) ~ (c): pl.when is the fix."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    words = np.zeros(steps, np.int32)   # always the cheap arm
+
+    def mk(dispatch):
+        def kernel(w_ref, x_ref, o_ref):
+            def cheap(_):
+                o_ref[...] = o_ref[...] + jnp.float32(1.0)
+                return jnp.int32(0)
+
+            def hv(_):
+                acc = o_ref[...]
+                for _ in range(heavy):
+                    acc = jnp.minimum(jnp.abs(acc),
+                                      jnp.abs(acc * jnp.float32(1.001)))
+                o_ref[...] = acc
+                return jnp.int32(0)
+
+            o_ref[...] = x_ref[...]
+            arms = [cheap, hv]
+
+            def body(i, c):
+                b = w_ref[i]
+                if dispatch == "switch":
+                    jax.lax.switch(b, arms, jnp.int32(0))
+                elif dispatch == "when":
+                    for ai, arm in enumerate(arms):
+                        @pl.when(b == ai)
+                        def _(arm=arm):
+                            arm(jnp.int32(0))
+                else:
+                    cheap(jnp.int32(0))
+                return c
+
+            jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
+        def call(x):
+            return pl.pallas_call(
+                kernel,
+                grid=(x.shape[1] // tile,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(jnp.asarray(words), x)
+        return call
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(rows, tile * 8)).astype(np.float32))
+    for disp in ("none", "switch", "when"):
+        fn = mk(disp)
+        g = jax.jit(lambda u, f=fn: jnp.sum(f(u)))
+
+        def run(disp=disp, g=g):
+            measure_keyed(f"switchprobe-{disp}",
+                          lambda k: g(x + jax.random.key_data(k)[0]
+                                      .astype(jnp.float32)),
+                          rows * tile * 8 * steps)
+        guard(f"switchprobe-{disp}", run)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -1038,6 +1117,7 @@ STAGES = {
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
+    "switchprobe": stage_switchprobe,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
     "klcw": stage_klcw,
@@ -1063,6 +1143,9 @@ def main():
                     help="single m for stages taking m=")
     ap.add_argument("--non-systematic", action="store_true",
                     help="systematic=False for stages taking systematic=")
+    ap.add_argument("--kls", type=str, default=None,
+                    help="comma-separated subtree levels for stages "
+                         "taking kls=")
     args = ap.parse_args()
     if args.list or not args.stage:
         for name in STAGES:
@@ -1082,6 +1165,8 @@ def main():
         kw["m"] = args.m
     if args.non_systematic and "systematic" in params:
         kw["systematic"] = False
+    if args.kls is not None and "kls" in params:
+        kw["kls"] = tuple(int(x) for x in args.kls.split(","))
     fn(**kw)
     return 0
 
