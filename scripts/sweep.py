@@ -993,6 +993,94 @@ def stage_switchprobe(rows=1024, tile=128, steps=256, heavy=64):
         guard(f"switchprobe-{disp}", run)
 
 
+def stage_interpablate(m=15, kl=8):
+    """WHY is the interp kernel ~50x below per-element scaling at m15?
+    The program is an SMEM INPUT, so one compiled kernel can run
+    DOCTORED programs: (real) the actual m15-kl8 codeword program;
+    (cheap) every step -> the cheapest arm at pos 0; (f-top / g-top)
+    every step -> the top-level f (all-STATIC soft offsets) / g (one
+    DYNAMIC int8 hard load); (body) every step -> one subtree body
+    (dynamic int8 stores). Same step count everywhere, so per-call
+    deltas attribute cost to arm classes: cheap ~ real => structural
+    per-step cost (dispatch walk); f-top slow => big chunked chain ops;
+    g-top >> f-top => dynamic-offset accesses; body slow => SSA-body
+    stores."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas import interp_kernel as ik
+
+    code = pt.make_code(m, rate=0.5)
+    tree = ik.compile_code(code)
+    kl = min(kl, code.level)
+    prog = ik._build_program(tree, kl, want_cw=True, want_u=False)
+    words_np = prog.words(kl)
+    n = code.N
+    tile = 128
+    batch = max(256, (1 << 25) // (1 << m))
+    vmem = {13: 32, 14: 48, 15: 96, 16: 110}.get(m, 110)
+    cdt = jnp.bfloat16 if m >= 16 else jnp.float32
+
+    kernel = functools.partial(ik._interp_kernel_entry, prog, n, kl, cdt,
+                               True, False, False, None)
+    blk = lambda: pl.BlockSpec((n, tile), lambda i: (0, i),  # noqa: E731
+                               memory_space=pltpu.VMEM)
+
+    def call(words, llr_t):
+        return pl.pallas_call(
+            kernel,
+            grid=(llr_t.shape[1] // tile,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk()],
+            out_specs=(blk(),),
+            out_shape=(jax.ShapeDtypeStruct((n, llr_t.shape[1]), jnp.int8),),
+            scratch_shapes=[pltpu.VMEM((2 * n, tile), jnp.int8),
+                            pltpu.VMEM((n, tile), jnp.int8)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=vmem << 20),
+        )(words, llr_t)
+
+    # arm inventory (key -> index), for the doctored programs
+    by_key = {key: idx for key, (idx, _) in prog.branches.items()}
+    chain_f = sorted((k for k in by_key if k[0] == "f"), key=lambda k: k[1])
+    chain_g = sorted((k for k in by_key if k[0] in ("g", "g0")),
+                     key=lambda k: k[1])
+    bodies = [k for k in by_key if k[0] == "body"]
+    cheap_keys = sorted((k for k in by_key
+                         if k[0] in ("comb0", "comb", "g0", "g")),
+                        key=lambda k: k[1])
+    variants = {"real": words_np}
+    if cheap_keys:
+        variants["cheap"] = np.full_like(words_np, by_key[cheap_keys[0]])
+    if chain_f:
+        variants["ftop"] = np.full_like(words_np, by_key[chain_f[-1]])
+        variants["fmid"] = np.full_like(words_np, by_key[chain_f[0]])
+    if chain_g:
+        variants["gtop"] = np.full_like(words_np, by_key[chain_g[-1]])
+    if bodies:
+        variants["body"] = np.full_like(words_np, by_key[bodies[0]])
+    log({"cfg": f"m{m}-interpablate-inventory", "steps": len(words_np),
+         "branches": len(by_key),
+         "arms": {v: int(w[0] & 0xFFFF) for v, w in variants.items()
+                  if v != "real"}, "ts": time.time()})
+
+    llr_t = llr_batch(code, batch).T
+    for vname, w in variants.items():
+        wj = jnp.asarray(w)
+
+        def fn(key, wj=wj):
+            d = jax.random.key_data(key).reshape(-1)[0].astype(jnp.int8)
+            return call(wj, llr_t + d)
+
+        measure_keyed(f"m{m}-interpablate-{vname}", fn, batch, iters=8)
+
+
 def stage_vmemprobe():
     """Does vmem_limit_bytes raise Mosaic's scoped budget past 16M on
     this chip? Whole-code SSA kernels at sizes known to OOM at the
@@ -1117,6 +1205,7 @@ STAGES = {
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
+    "interpablate": stage_interpablate,
     "switchprobe": stage_switchprobe,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
