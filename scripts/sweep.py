@@ -993,6 +993,89 @@ def stage_switchprobe(rows=1024, tile=128, steps=256, heavy=64):
         guard(f"switchprobe-{disp}", run)
 
 
+def stage_switchprobe2(rows=4096, tile=128, steps=256, heavy=64):
+    """Which arm FEATURE breaks pl.when branching? interpablate showed
+    the real interp kernel pays the all-arms sum per step while the
+    static probe (switchprobe) branches fine. Four two-arm kernels,
+    words always selecting the CHEAP arm; the heavy arm differs:
+    (static) loads+stores at static offsets [control — expect fast];
+    (dynld) heavy math on a dynamic-offset load; (dynst) static load,
+    store at a dynamic offset; (dynboth). If dyn* measure ~heavy while
+    static ~cheap: dynamic-offset access inside a pl.when region forces
+    all-arms execution, and the fix is static-slot state layout."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    words = np.zeros(steps, np.int32)   # always the cheap arm
+
+    def mk(variant):
+        def kernel(w_ref, x_ref, o_ref, s_ref):
+            def cheap(p):
+                o_ref[0:8, :] = o_ref[0:8, :] + jnp.float32(1.0)
+
+            def hv(p):
+                if variant in ("dynld", "dynboth"):
+                    acc = s_ref[pl.ds(pl.multiple_of(p, 8), 8), :]
+                else:
+                    acc = s_ref[0:8, :]
+                for _ in range(heavy):
+                    acc = jnp.minimum(jnp.abs(acc),
+                                      jnp.abs(acc * jnp.float32(1.001)))
+                if variant in ("dynst", "dynboth"):
+                    s_ref[pl.ds(pl.multiple_of(p, 8), 8), :] = acc
+                else:
+                    s_ref[0:8, :] = acc
+
+            s_ref[...] = x_ref[...]
+            o_ref[...] = x_ref[...]
+            arms = [cheap, hv]
+
+            def body(i, c):
+                w = w_ref[i]
+                b = jnp.bitwise_and(w, 0xFFFF)
+                p = (w >> 16) * 8
+                for ai, arm in enumerate(arms):
+                    @pl.when(b == ai)
+                    def _(arm=arm):
+                        arm(p)
+                return c
+
+            jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+            o_ref[8:16, :] = s_ref[0:8, :]
+
+        def call(x):
+            return pl.pallas_call(
+                kernel,
+                grid=(x.shape[1] // tile,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                scratch_shapes=[pltpu.VMEM((rows, tile), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(jnp.asarray(words), x)
+        return call
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(rows, tile * 8)).astype(np.float32))
+    for variant in ("static", "dynld", "dynst", "dynboth"):
+        fn = mk(variant)
+        g = jax.jit(lambda u, f=fn: jnp.sum(f(u)))
+
+        def run(variant=variant, g=g):
+            measure_keyed(f"switchprobe2-{variant}",
+                          lambda k: g(x + jax.random.key_data(k)[0]
+                                      .astype(jnp.float32)),
+                          rows * tile * 8, iters=16)
+        guard(f"switchprobe2-{variant}", run)
+
+
 def stage_interpablate(m=15, kl=8):
     """WHY is the interp kernel ~50x below per-element scaling at m15?
     The program is an SMEM INPUT, so one compiled kernel can run
@@ -1079,6 +1162,79 @@ def stage_interpablate(m=15, kl=8):
             return call(wj, llr_t + d)
 
         measure_keyed(f"m{m}-interpablate-{vname}", fn, batch, iters=8)
+
+
+def stage_interparms(m=15, kl=8):
+    """Per-step cost vs BRANCH-TABLE SIZE on the real interp kernel.
+    interpablate: taken-arm identity is irrelevant (real == cheap to
+    0.01%); switchprobe2: neither arm count 2 nor dynamic offsets slows
+    the probe. Bisect on the REAL kernel: build it with the first k
+    arms only (words select arm 0 = the top-level f), k doubling to the
+    full table. cost(k) linear in the table's total work => Mosaic
+    if-converts the chain at some arity/size and executes everything;
+    the knee is the trigger."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas import interp_kernel as ik
+
+    code = pt.make_code(m, rate=0.5)
+    tree = ik.compile_code(code)
+    kl = min(kl, code.level)
+    prog = ik._build_program(tree, kl, want_cw=True, want_u=False)
+    n = code.N
+    tile = 128
+    batch = max(256, (1 << 25) // (1 << m))
+    vmem = {13: 32, 14: 48, 15: 96, 16: 110}.get(m, 110)
+    cdt = jnp.bfloat16 if m >= 16 else jnp.float32
+    n_steps = len(prog.steps)
+    words = jnp.asarray(np.zeros(n_steps, np.int32))   # arm 0, pos 0
+    llr_t = llr_batch(code, batch).T
+
+    makes = prog.makes()
+    blk = lambda: pl.BlockSpec((n, tile), lambda i: (0, i),  # noqa: E731
+                               memory_space=pltpu.VMEM)
+
+    ks, k = [], 1
+    while k < len(makes):
+        ks.append(k)
+        k *= 4
+    ks.append(len(makes))
+    for k in ks:
+        subset = makes[:k]
+
+        def kernel(prog_ref, llr_ref, cw_ref, soft, hard, subset=subset):
+            env = ik._Env(soft, hard, cw_ref, None, cdt,
+                          align=min(1 << kl, ik._CHAIN_CHUNK_ROWS))
+            soft[pl.ds(n, n), :] = llr_ref[...].astype(soft.dtype)
+            branches = [mk(env) for mk in subset]
+            ik._run_program(prog_ref, n_steps, branches, kl)
+
+        def call(llr):
+            return pl.pallas_call(
+                kernel,
+                grid=(llr.shape[1] // tile,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk()],
+                out_specs=blk(),
+                out_shape=jax.ShapeDtypeStruct((n, llr.shape[1]), jnp.int8),
+                scratch_shapes=[pltpu.VMEM((2 * n, tile), jnp.int8),
+                                pltpu.VMEM((n, tile), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",),
+                    vmem_limit_bytes=vmem << 20),
+            )(words, llr)
+
+        def fn(key):
+            d = jax.random.key_data(key).reshape(-1)[0].astype(jnp.int8)
+            return call(llr_t + d)
+
+        measure_keyed(f"m{m}-interparms-k{k}", fn, batch, iters=8)
 
 
 def stage_vmemprobe():
@@ -1206,7 +1362,9 @@ STAGES = {
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
     "interpablate": stage_interpablate,
+    "interparms": stage_interparms,
     "switchprobe": stage_switchprobe,
+    "switchprobe2": stage_switchprobe2,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
     "klcw": stage_klcw,
