@@ -99,7 +99,11 @@ def _front_decode_cfg(level: int, u_output: bool) -> tuple[int, int, int | None]
 # systematic levels whose UNROLLED decode_count kernels cannot compile
 # (m >= 15: receipt m15-decodecount-t128 HTTP-413). Levels enter this
 # set only with a passing steprate receipt (sweep --stage interp);
-# values are (subtree_level, vmem_limit_mb).
+# values are (subtree_level, vmem_limit_mb). EMPTY BY MEASUREMENT:
+# the r4 receipts (m15-interp-decodecount-* 4.6K fps, m15-interparms-*)
+# show the interpreter pays ~0.7 us/step per table arm once its code
+# outgrows the instruction buffer, so it loses to the two-call path
+# (whole-code cw decode + XLA counters) at every level it targets.
 _INTERP_COUNT_LEVELS: dict = {}
 # whole-code u-output kernels are the decode champions to m=16 under
 # raised Mosaic VMEM budgets (receipts m14/15/16-wholecode-ssa-t128-v*);

@@ -24,9 +24,23 @@ on opcode, each opcode fanning to a ``switch(lvl)`` ladder of
   it, deduplicated by frozen pattern (two level-10 subtrees with the
   same pattern share one body);
 * the kernel runs ``lax.fori_loop`` over steps with a ``pl.when``
-  chain over the branch table (NOT ``lax.switch`` — Mosaic executes
-  every arm of a side-effecting switch; receipts ``switchprobe-*``) —
-  program size is O(distinct bodies), not O(tree size).
+  chain over the branch table — program size is O(distinct bodies),
+  not O(tree size).
+
+**Measured limits (round-4 receipts — read before reaching for this
+kernel):** the compile-time claim holds (m15 decode+count builds in
+89 s where the unrolled twin exceeds the compile relay's request
+size), but once the loop body's total code outgrows the core's
+instruction buffer every fori_loop iteration pays ~0.6–0.76 µs per
+TABLE ARM regardless of which arm is taken (receipts
+``m15-interpablate-real``/``-cheap`` identical to 0.01%;
+``m15-interparms-k{4,16,64,118}``: k≤16 costs exactly the taken arm,
+beyond that cost grows linearly with the table). Small-table kernels
+branch for real (``switchprobe*`` receipts). Consequently the
+interpreter loses to the unrolled kernels wherever those compile
+(m13: 1.12M vs 3.56M fps; m15: 4.6K) and its niche is the deep
+frontier: fast first-call compiles at m ≥ 20 and correctness probes
+past the unrolled ladder's compile wall.
 
 State is the reference's, verbatim: a **soft pyramid** VMEM scratch
 (level-ℓ LLR slot = rows ``[2^ℓ, 2^(ℓ+1))`` — static offsets, exactly
@@ -121,12 +135,14 @@ def _chunks(h):
 
 
 def _run_program(prog_ref, n_steps, branches, kl):
-    """fori_loop over step words with pl.when-chain dispatch. NOT
-    lax.switch: Mosaic lowers the side-effecting switch by executing
-    EVERY arm (receipts switchprobe-switch vs -when r4; the m15/m16
-    interp rates scaled with steps x branches, ~20-40x below
-    per-element scaling). A chain of scalar-predicated pl.when blocks
-    skips untaken arms for real."""
+    """fori_loop over step words with pl.when-chain dispatch.
+
+    pl.when and lax.switch both branch for real in SMALL kernels
+    (receipts switchprobe/switchprobe2/switchprobe3), but once the
+    loop body's total code exceeds the core's instruction buffer each
+    iteration pays ~0.6-0.76 us per table arm whether taken or not
+    (receipts m15-interpablate-*, m15-interparms-k*) — see the module
+    docstring's measured-limits note."""
 
     def body(i, c):
         w = prog_ref[i]

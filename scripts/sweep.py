@@ -1076,6 +1076,125 @@ def stage_switchprobe2(rows=4096, tile=128, steps=256, heavy=64):
         guard(f"switchprobe2-{variant}", run)
 
 
+def stage_switchprobe3(rows=2048, tile=128, steps=363, nops=220):
+    """WHICH body feature if-converts a pl.when arm? interparms:
+    chain arms branch (k4~k16 = taken-arm cost) but every SSA body arm
+    executes unconditionally (+~1-2us/step/body). Two-arm kernels,
+    words always taking the CHEAP arm; the heavy arm (never taken)
+    varies: (chain) nops sequential elementwise ops, one store —
+    mirrors the f/g chunk structure [expect fast]; (concat) the
+    _transform shape — recursive halve/mul/concatenate on a (256,T)
+    value; (multistore) nops ops with a store every 16 ops; (i8cast)
+    chain on int8 loads with f32 compute + int8 store-back like the
+    SSA bodies' env.ld/st. The slow variant(s) name the trigger."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    words = np.zeros(steps, np.int32)
+
+    def transform(x):
+        n = x.shape[0]
+        if n == 1:
+            return x
+        h = n // 2
+        return jnp.concatenate(
+            [transform(x[:h] * x[h:]), transform(x[h:])], axis=0)
+
+    def mk(variant):
+        def kernel(w_ref, x_ref, o_ref, s_ref):
+            def cheap(_):
+                o_ref[0:8, :] = o_ref[0:8, :] + jnp.float32(1.0)
+
+            def heavy_chain(_):
+                acc = s_ref[0:256, :]
+                for _ in range(nops):
+                    acc = jnp.minimum(jnp.abs(acc),
+                                      jnp.abs(acc * jnp.float32(1.001)))
+                s_ref[256:512, :] = acc
+
+            def heavy_concat(_):
+                acc = transform(s_ref[0:256, :])
+                s_ref[256:512, :] = acc
+
+            def heavy_multistore(_):
+                acc = s_ref[0:256, :]
+                for i in range(nops):
+                    acc = jnp.minimum(jnp.abs(acc),
+                                      jnp.abs(acc * jnp.float32(1.001)))
+                    if i % 16 == 15:
+                        s_ref[256 + 16 * (i // 16):256 + 16 * (i // 16) + 16,
+                              :] = acc[0:16, :]
+                s_ref[512:768, :] = acc
+
+            def heavy_i8cast(_):
+                acc = s_ref[0:256, :]
+                for i in range(nops):
+                    acc = jnp.minimum(jnp.abs(acc),
+                                      jnp.abs(acc * jnp.float32(1.001)))
+                    if i % 32 == 31:   # int8 round-trip like env.st/ld
+                        i8_ref[0:256, :] = acc.astype(jnp.int8)
+                        acc = i8_ref[0:256, :].astype(jnp.float32)
+                s_ref[256:512, :] = acc
+
+            s_ref[...] = x_ref[...]
+            i8_ref[...] = jnp.zeros_like(i8_ref)
+            o_ref[...] = x_ref[...]
+            heavy = {"chain": heavy_chain, "concat": heavy_concat,
+                     "multistore": heavy_multistore,
+                     "i8cast": heavy_i8cast}[variant]
+            arms = [cheap, heavy]
+
+            def body(i, c):
+                b = jnp.bitwise_and(w_ref[i], 0xFFFF)
+                for ai, arm in enumerate(arms):
+                    @pl.when(b == ai)
+                    def _(arm=arm):
+                        arm(jnp.int32(0))
+                return c
+
+            jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
+        def kernel_outer(w_ref, x_ref, o_ref, s_ref, i8r):
+            nonlocal i8_ref
+            i8_ref = i8r
+            kernel(w_ref, x_ref, o_ref, s_ref)
+
+        i8_ref = None
+
+        def call(x):
+            return pl.pallas_call(
+                kernel_outer,
+                grid=(x.shape[1] // tile,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                scratch_shapes=[pltpu.VMEM((rows, tile), jnp.float32),
+                                pltpu.VMEM((rows, tile), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(jnp.asarray(words), x)
+        return call
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(rows, tile * 8)).astype(np.float32))
+    for variant in ("chain", "concat", "multistore", "i8cast"):
+        fn = mk(variant)
+        g = jax.jit(lambda u, f=fn: jnp.sum(f(u)))
+
+        def run(variant=variant, g=g):
+            measure_keyed(f"switchprobe3-{variant}",
+                          lambda k: g(x + jax.random.key_data(k)[0]
+                                      .astype(jnp.float32)),
+                          rows * tile * 8, iters=16)
+        guard(f"switchprobe3-{variant}", run)
+
+
 def stage_interpablate(m=15, kl=8):
     """WHY is the interp kernel ~50x below per-element scaling at m15?
     The program is an SMEM INPUT, so one compiled kernel can run
@@ -1365,6 +1484,7 @@ STAGES = {
     "interparms": stage_interparms,
     "switchprobe": stage_switchprobe,
     "switchprobe2": stage_switchprobe2,
+    "switchprobe3": stage_switchprobe3,
     "vmem2": stage_vmem2,
     "klladder": stage_klladder,
     "klcw": stage_klcw,
