@@ -118,7 +118,8 @@ _FRONT_CW_WHOLE_LEVELS = frozenset(_FRONT_CW_WHOLE_VMEM)
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                    decoder=None, compute=None, rng: str = "threefry",
-                   rng_interpret: bool = False):
+                   rng_interpret: bool = False,
+                   front_decode_cfg: tuple | None = None):
     """The unjitted Monte-Carlo step body: (key, snr_db, batch) → counters.
 
     Exposed separately so the sharded campaign can wrap it in ``shard_map``
@@ -137,6 +138,12 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     can't tile (or int8-incompatible dtypes) fall back to threefry at
     trace time. ``"pallas-bits"`` is the CPU/interpret-testable variant
     (threefry-drawn bits through the identical in-kernel math).
+
+    ``front_decode_cfg``: override the front path's in-loop hybrid
+    decoder config ``(kernel_level, kernel_frame_tile,
+    kernel_vmem_limit_mb)`` — measurement hook for A/Bing
+    :func:`_front_decode_cfg` candidates (e.g. kl15) inside the real
+    step loop before promoting them as defaults.
     """
     pinned_decoder = decoder is not None
     enc = encode_systematic if systematic else encode
@@ -216,8 +223,8 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                     vmem_limit_mb=_FRONT_CW_WHOLE_VMEM.get(code.level))
                 decode_cw_lane = lambda x: front_dec.lane_major(x)[1]  # noqa: E731
             else:
-                kl, ktile, kvmem = _front_decode_cfg(
-                    code.level, u_output=not systematic)
+                kl, ktile, kvmem = (front_decode_cfg or _front_decode_cfg(
+                    code.level, u_output=not systematic))
                 front_dec = make_fastssc_decoder(
                     code, output="codeword" if systematic else "u",
                     output_dtype=jnp.int8,

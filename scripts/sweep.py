@@ -356,6 +356,25 @@ def stage_steprate(ms=(13, 14, 15, 16), systematic=True):
                      systematic=systematic, rng="pallas")
 
 
+def stage_stepkl15(ms=(16, 17)):
+    """ADVICE r3: kl15 subtree kernels win decode-only A/Bs at m>=16
+    (klladder/klcw receipts) but have NO receipt inside the actual
+    campaign step loop, where scoped VMEM is tighter (r3's one combined
+    attempt OOM'd). A/B the in-loop hybrid config via the
+    front_decode_cfg override: default kl13-t128 vs kl15-t128-v110.
+    Promote in ber._front_decode_cfg only if kl15 wins here."""
+    import polar_tpu as pt
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        measure_step(f"m{m}-steprate-sys-kl13", code, batch,
+                     systematic=True, rng="pallas")
+        measure_step(f"m{m}-steprate-sys-kl15v110", code, batch,
+                     systematic=True, rng="pallas",
+                     front_decode_cfg=(15, 128, 110))
+
+
 def stage_frontcfg(m=13, batch=4096):
     """Block-front geometry A/B at m13: frame tile 256 (fewer, wider
     grid steps), taller channel blocks (the leaner poly-sincos channel
@@ -1477,6 +1496,7 @@ STAGES = {
     "frontmid": stage_frontmid,
     "decodecount": stage_decodecount,
     "steprate": stage_steprate,
+    "stepkl15": stage_stepkl15,
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,
