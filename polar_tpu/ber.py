@@ -114,6 +114,12 @@ _FRONT_U_WHOLE_VMEM = {14: 32, 15: 64, 16: 110}
 # whole-code cw kernel (v110) beats the hybrid's cw track (+11%)
 _FRONT_CW_WHOLE_VMEM = {15: 110}
 _FRONT_CW_WHOLE_LEVELS = frozenset(_FRONT_CW_WHOLE_VMEM)
+# single-pass Pallas counter epilogue (make_pallas_count) for the
+# systematic levels above the decode_count fusion ceiling: replaces the
+# XLA reduction passes over three (N, B) int8 arrays with one tiled
+# VMEM pass. Levels enter only with a winning on-chip step A/B receipt
+# (sweep --stage countk).
+_COUNT_KERNEL_LEVELS: frozenset = frozenset()
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
@@ -163,6 +169,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     use_front = (use_kernel_rng and not pinned_decoder
                  and compute is None and 2 <= code.level)
     front = decode_cw_lane = decode_u_lane = decode_count = None
+    count_kernel = None
     if use_front:
         from .ops.pallas.step_kernel import _bits_to_normals, _bits_to_sym
         kprng = "inject" if rng == "pallas-bits" else "native"
@@ -235,6 +242,11 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                     decode_cw_lane = front_dec.lane_major
                 else:
                     decode_u_lane = front_dec.lane_major
+        if systematic and decode_count is None \
+                and code.level in _COUNT_KERNEL_LEVELS:
+            from .ops.pallas.step_kernel import make_pallas_count
+            count_kernel = make_pallas_count(code, frame_tile=128,
+                                             interpret=rng_interpret)
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
         info_idx = jnp.asarray(code.info_indices)
     if use_kernel_rng:
@@ -291,6 +303,8 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         if systematic:
             llr_t, cw_t = outs
             hat = decode_cw_lane(llr_t)             # (N, B) cw estimate
+            if count_kernel is not None:
+                return count_kernel(llr_t, cw_t, hat)
             zero_d = (hat == 0) & info_rows
             err = (hat != cw_t) & info_rows
         else:

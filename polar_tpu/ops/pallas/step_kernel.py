@@ -534,6 +534,75 @@ def make_pallas_decode_count(
     return count
 
 
+def _count_kernel(llr_ref, cw_ref, hat_ref, mask_ref, out_ref):
+    info = jnp.float32(1.0) - mask_ref[:, :1].astype(jnp.float32)
+    _count_and_store(out_ref, llr_ref[...], cw_ref[...],
+                     hat_ref[...].astype(jnp.float32),
+                     cw_ref[...].astype(jnp.float32), info, wide=True)
+
+
+def make_pallas_count(
+    code: PolarCode,
+    *,
+    frame_tile: int = 128,
+    interpret: bool = False,
+):
+    """Build ``count(llr_t, cw_t, hat_t) -> counter dict`` — the
+    Monte-Carlo counter epilogue alone as one single-pass VMEM kernel
+    (``testbench.cc:185-192`` semantics, the exact ``_count_and_store``
+    math of the fused kernels). For the systematic levels whose fused
+    decode+count cannot compile (m ≥ 15, receipt
+    ``m15-decodecount-t128``) the step's XLA epilogue re-reads three
+    (N, B) int8 arrays through several reduction passes; this kernel
+    makes it ONE tiled pass ending in five scalars per grid step.
+    Counter math is bit-identical to the XLA block on the same inputs
+    (pinned by ``tests/test_step_kernel.py``). The frozen mask rides in
+    as an int8 input column with a constant block index — not baked
+    broadcast-run constants (the r3 program-size lesson).
+
+    ``hat_t`` is the decoder's (N, B) codeword-estimate track (values
+    in {-1, 0, +1}); compares run in f32 (dtype-independent counts,
+    and int8 compares trip Mosaic's layout rejection at large N)."""
+    n = code.N
+    if frame_tile % 128:
+        raise ValueError("frame_tile must be a multiple of 128")
+    mask_np = np.broadcast_to(
+        np.asarray(code.frozen, np.int8).reshape(n, 1), (n, 128)).copy()
+
+    def count(llr_t, cw_t, hat_t):
+        if llr_t.shape != cw_t.shape or llr_t.shape != hat_t.shape \
+                or llr_t.shape[0] != n:
+            raise ValueError(f"expected matching (N={n}, B) inputs")
+        batch = llr_t.shape[1]
+        if batch % frame_tile:
+            raise ValueError(f"batch {batch} not a multiple of "
+                             f"frame_tile {frame_tile}")
+        grid = batch // frame_tile
+        blk = lambda: pl.BlockSpec((n, frame_tile), lambda i: (0, i),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _count_kernel,
+            grid=(grid,),
+            in_specs=[blk(), blk(), blk(),
+                      pl.BlockSpec((n, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
+            compiler_params=_cparams(("arbitrary",), None),
+            interpret=interpret,
+        )(llr_t, cw_t, hat_t, jnp.asarray(mask_np))
+        t = jnp.sum(out, axis=0)
+        return {
+            "uncorrected_errors": t[0],
+            "frame_errors": t[1],
+            "ambiguity_erasures": t[2],
+            "awgn_errors": t[3],
+            "quantization_erasures": t[4],
+        }
+
+    return count
+
+
 def _front_kernel_native(n, frozen_col, frame_tile, params_ref, seed_ref,
                          llr_ref, cw_ref):
     pid_mix = pl.program_id(0) * jnp.int32(_GOLDEN)

@@ -356,6 +356,30 @@ def stage_steprate(ms=(13, 14, 15, 16), systematic=True):
                      systematic=systematic, rng="pallas")
 
 
+def stage_countk(ms=(15, 16)):
+    """Counter-epilogue A/B at the levels above the decode_count
+    fusion ceiling: the default XLA reduction passes vs the single-pass
+    Pallas counter kernel (make_pallas_count), measured through the
+    FULL campaign step (the adoption decision). Winner populates
+    ber._COUNT_KERNEL_LEVELS."""
+    import polar_tpu as pt
+    import polar_tpu.ber as ber
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        orig = ber._COUNT_KERNEL_LEVELS
+        try:
+            ber._COUNT_KERNEL_LEVELS = frozenset()
+            measure_step(f"m{m}-countk-xla", code, batch,
+                         systematic=True, rng="pallas")
+            ber._COUNT_KERNEL_LEVELS = frozenset({m})
+            measure_step(f"m{m}-countk-kernel", code, batch,
+                         systematic=True, rng="pallas")
+        finally:
+            ber._COUNT_KERNEL_LEVELS = orig
+
+
 def stage_stepkl15(ms=(16, 17)):
     """ADVICE r3: kl15 subtree kernels win decode-only A/Bs at m>=16
     (klladder/klcw receipts) but have NO receipt inside the actual
@@ -1497,6 +1521,7 @@ STAGES = {
     "decodecount": stage_decodecount,
     "steprate": stage_steprate,
     "stepkl15": stage_stepkl15,
+    "countk": stage_countk,
     "lanemajor": stage_lanemajor,
     "fusef": stage_fusef,
     "vmemprobe": stage_vmemprobe,

@@ -333,6 +333,70 @@ def test_decode_count_kernel_matches_xla_counter_math():
         count(llr_t[:, :100], cw_t[:, :100])
 
 
+def test_count_kernel_matches_xla_counter_math():
+    """make_pallas_count (the counter epilogue alone, one VMEM pass)
+    must produce the exact counters of the XLA bool-domain block on
+    identical (llr_t, cw_t, hat_t) inputs — including zero LLRs, a
+    decoded-zero (tie) track and saturation values."""
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_count
+
+    code = pt.make_code(8, rate=0.5)
+    rng = np.random.default_rng(23)
+    batch = 256
+    llr_t = jnp.asarray(rng.integers(-128, 128, (code.N, batch), np.int64)
+                        .astype(np.int8))
+    msg = jnp.asarray((1 - 2 * rng.integers(0, 2, (batch, code.K)))
+                      .astype(np.int8))
+    cw_t = pt.encode_systematic(code, msg).T
+    # a synthetic hat track with all three values {-1, 0, +1} present
+    hat_t = jnp.asarray(rng.integers(-1, 2, (code.N, batch), np.int64)
+                        .astype(np.int8))
+    count = make_pallas_count(code, frame_tile=128, interpret=True)
+    got = {k: int(v) for k, v in count(llr_t, cw_t, hat_t).items()}
+    info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
+    zero_d = (hat_t == 0) & info_rows
+    err = (hat_t != cw_t) & info_rows
+    ref = {
+        "uncorrected_errors": int(jnp.sum(err, dtype=jnp.int32)),
+        "frame_errors": int(jnp.sum(jnp.any(err, axis=0), dtype=jnp.int32)),
+        "ambiguity_erasures": int(jnp.sum(zero_d, dtype=jnp.int32)),
+        "awgn_errors": int(jnp.sum(
+            (llr_t != 0) & ((llr_t < 0) != (cw_t < 0)), dtype=jnp.int32)),
+        "quantization_erasures": int(jnp.sum(llr_t == 0, dtype=jnp.int32)),
+    }
+    assert got == ref
+    assert got["ambiguity_erasures"] > 0
+    with pytest.raises(ValueError):
+        count(llr_t, cw_t, hat_t[:, :128])
+
+
+def test_count_kernel_step_body_equality():
+    """A campaign step routed through the count kernel must return the
+    exact counters of the default XLA-epilogue step on the same key
+    (the _COUNT_KERNEL_LEVELS gate flipped by hand)."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(8, rate=0.5)
+    key = jax.random.PRNGKey(3)
+    # push m8 onto the split decode + counter-epilogue path (the real
+    # count-kernel territory, m >= 15, is uncompilable in CPU interpret)
+    orig_dc = ber._DECODE_COUNT_MAX_LEVEL
+    orig_ck = ber._COUNT_KERNEL_LEVELS
+    ber._DECODE_COUNT_MAX_LEVEL = 0
+    try:
+        base = ber.make_step_body(code, rng="pallas-bits",
+                                  rng_interpret=True)
+        ref = {k: int(v) for k, v in base(key, 1.0, 256).items()}
+        ber._COUNT_KERNEL_LEVELS = frozenset({code.level})
+        kb = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+        got = {k: int(v) for k, v in kb(key, 1.0, 256).items()}
+    finally:
+        ber._DECODE_COUNT_MAX_LEVEL = orig_dc
+        ber._COUNT_KERNEL_LEVELS = orig_ck
+    assert got == ref
+    assert sum(ref.values()) > 0
+
+
 @pytest.mark.parametrize("mid", ["kernel", "xla"])
 @pytest.mark.parametrize("bl,cbl", [(6, 6), (6, 5), (4, 7)])
 def test_front_blocks_inject_matches_whole_front(bl, cbl, mid):
