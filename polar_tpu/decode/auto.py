@@ -45,8 +45,8 @@ _HYBRID_MIN_LEVEL = 17       # whole-code m17 would need ~183M VMEM
 # 54.3K (+13%) — receipts r3 klladder. The cw-track kl15 kernels fit a
 # 110M budget and win the same way — m16 299.7K vs kl13's 240.5K
 # (+24.6%, r3), and the former m17/m18 extrapolation is now DIRECTLY
-# receipted: m17-cw 122.9K vs kl13's 95.3K (+29%, r4
-# m17-hybridcw-kl15-t128-v110) — so non-u hybrids run kl15 too.
+# receipted: m17-cw 123.1K vs kl13's 95.4K (+29%) and the m18-cw pair
+# (r4 receipts m17/m18-hybridcw-*) — so non-u hybrids run kl15 too.
 _HYBRID_KL_U, _HYBRID_KL_U_VMEM = 15, 64
 _HYBRID_KL_CW, _HYBRID_KL_CW_VMEM = 15, 110
 _HYBRID_KERNEL_LEVEL = 13    # pre-kl15 champion (r2 ladder2 receipts)
