@@ -149,7 +149,12 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
     decoder config ``(kernel_level, kernel_frame_tile,
     kernel_vmem_limit_mb)`` — measurement hook for A/Bing
     :func:`_front_decode_cfg` candidates (e.g. kl15) inside the real
-    step loop before promoting them as defaults.
+    step loop before promoting them as defaults. Raises ``ValueError``
+    if the configuration resolves to a non-hybrid step path (whole
+    front, fused decode+count, whole-code u/cw front, interp, or no
+    kernel front at all): a silently-ignored override would make an
+    A/B measure the default while appearing to test the candidate
+    (ADVICE r4).
     """
     pinned_decoder = decoder is not None
     enc = encode_systematic if systematic else encode
@@ -170,6 +175,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                  and compute is None and 2 <= code.level)
     front = decode_cw_lane = decode_u_lane = decode_count = None
     count_kernel = None
+    front_cfg_consumed = False
     if use_front:
         from .ops.pallas.step_kernel import _bits_to_normals, _bits_to_sym
         kprng = "inject" if rng == "pallas-bits" else "native"
@@ -230,6 +236,7 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                     vmem_limit_mb=_FRONT_CW_WHOLE_VMEM.get(code.level))
                 decode_cw_lane = lambda x: front_dec.lane_major(x)[1]  # noqa: E731
             else:
+                front_cfg_consumed = True
                 kl, ktile, kvmem = (front_decode_cfg or _front_decode_cfg(
                     code.level, u_output=not systematic))
                 front_dec = make_fastssc_decoder(
@@ -249,6 +256,13 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                                              interpret=rng_interpret)
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
         info_idx = jnp.asarray(code.info_indices)
+    if front_decode_cfg is not None and not front_cfg_consumed:
+        raise ValueError(
+            "front_decode_cfg was passed but this configuration does not "
+            "take the hybrid front-decode path (it resolves to "
+            f"{'no kernel front' if not use_front else 'a fused/whole-code front branch'} "
+            f"at N={code.N}, systematic={systematic}) — the override would "
+            "be silently ignored and an A/B would measure the default")
     if use_kernel_rng:
         from .ops.pallas.channel_kernel import (make_pallas_awgn,
                                                 make_pallas_symbols,

@@ -6,8 +6,8 @@ sweep_r2.py, sweep_r2c.py — deleted; their receipts live on in
 results/throughput_receipts{,_r2}.txt). One process per invocation,
 run serially — a single python process holds the TPU grant.
 
-Receipts append to results/throughput_receipts_r4.txt as JSON lines
-(rounds 1-3: throughput_receipts{,_r2,_r3}.txt).
+Receipts append to results/throughput_receipts_r5.txt as JSON lines
+(rounds 1-4: throughput_receipts{,_r2,_r3,_r4}.txt).
 
   python scripts/sweep.py --stage frontprofile   # block-front part timings
   python scripts/sweep.py --stage prngrate       # hardware-PRNG draw rate
@@ -26,7 +26,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RECEIPTS = Path(__file__).resolve().parent.parent / "results" / \
-    "throughput_receipts_r4.txt"
+    "throughput_receipts_r5.txt"
 
 
 def log(obj):

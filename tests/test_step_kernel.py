@@ -379,9 +379,16 @@ def test_count_kernel_step_body_equality():
     code = pt.make_code(8, rate=0.5)
     key = jax.random.PRNGKey(3)
     # push m8 onto the split decode + counter-epilogue path (the real
-    # count-kernel territory, m >= 15, is uncompilable in CPU interpret)
+    # count-kernel territory, m >= 15, is uncompilable in CPU interpret).
+    # BOTH gates must move: with only _DECODE_COUNT_MAX_LEVEL lowered,
+    # m8 still takes the whole-front branch (<= _FRONT_WHOLE_MAX_LEVEL),
+    # whose decode_count is built unconditionally — the count kernel
+    # would never be constructed and the A/B would compare the fused
+    # kernel against itself (ADVICE r4).
+    orig_fw = ber._FRONT_WHOLE_MAX_LEVEL
     orig_dc = ber._DECODE_COUNT_MAX_LEVEL
     orig_ck = ber._COUNT_KERNEL_LEVELS
+    ber._FRONT_WHOLE_MAX_LEVEL = 0
     ber._DECODE_COUNT_MAX_LEVEL = 0
     try:
         base = ber.make_step_body(code, rng="pallas-bits",
@@ -391,10 +398,27 @@ def test_count_kernel_step_body_equality():
         kb = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
         got = {k: int(v) for k, v in kb(key, 1.0, 256).items()}
     finally:
+        ber._FRONT_WHOLE_MAX_LEVEL = orig_fw
         ber._DECODE_COUNT_MAX_LEVEL = orig_dc
         ber._COUNT_KERNEL_LEVELS = orig_ck
     assert got == ref
     assert sum(ref.values()) > 0
+
+
+def test_front_decode_cfg_rejected_on_non_hybrid_paths():
+    """The front_decode_cfg A/B override must raise — not be silently
+    ignored — when the level resolves to a non-hybrid step path
+    (ADVICE r4): m8 systematic takes the whole-front branch, and a
+    threefry step has no kernel front at all."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(8, rate=0.5)
+    with pytest.raises(ValueError, match="front_decode_cfg"):
+        ber.make_step_body(code, rng="pallas-bits", rng_interpret=True,
+                           front_decode_cfg=(7, 128, None))
+    with pytest.raises(ValueError, match="front_decode_cfg"):
+        ber.make_step_body(code, rng="threefry",
+                           front_decode_cfg=(7, 128, None))
 
 
 @pytest.mark.parametrize("mid", ["kernel", "xla"])
