@@ -120,6 +120,9 @@ _FRONT_CW_WHOLE_LEVELS = frozenset(_FRONT_CW_WHOLE_VMEM)
 # VMEM pass. Levels enter only with a winning on-chip step A/B receipt
 # (sweep --stage countk).
 _COUNT_KERNEL_LEVELS: frozenset = frozenset()
+# the counter kernel stages four (N, tile) int8 blocks, ~24M/48M scoped
+# at m15/m16 vs Mosaic's 16M default (receipt m16-countk-kernel OOM r5)
+_COUNT_KERNEL_VMEM = {15: 32, 16: 64}
 
 
 def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
@@ -252,8 +255,9 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
         if systematic and decode_count is None \
                 and code.level in _COUNT_KERNEL_LEVELS:
             from .ops.pallas.step_kernel import make_pallas_count
-            count_kernel = make_pallas_count(code, frame_tile=128,
-                                             interpret=rng_interpret)
+            count_kernel = make_pallas_count(
+                code, frame_tile=128, interpret=rng_interpret,
+                vmem_limit_mb=_COUNT_KERNEL_VMEM.get(code.level))
         info_rows = jnp.asarray(code.frozen == 0).reshape(code.N, 1)
         info_idx = jnp.asarray(code.info_indices)
     if front_decode_cfg is not None and not front_cfg_consumed:

@@ -546,6 +546,7 @@ def make_pallas_count(
     *,
     frame_tile: int = 128,
     interpret: bool = False,
+    vmem_limit_mb: int | None = None,
 ):
     """Build ``count(llr_t, cw_t, hat_t) -> counter dict`` — the
     Monte-Carlo counter epilogue alone as one single-pass VMEM kernel
@@ -588,7 +589,11 @@ def make_pallas_count(
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((grid, _N_COUNTERS), jnp.int32),
-            compiler_params=_cparams(("arbitrary",), None),
+            # the kernel stages four (N, tile) int8 blocks (+ double
+            # buffering): ~48M scoped at m16-t128, far past Mosaic's 16M
+            # default — callers must raise the budget at m >= 15
+            # (receipt m16-countk-kernel OOM r5)
+            compiler_params=_cparams(("arbitrary",), vmem_limit_mb),
             interpret=interpret,
         )(llr_t, cw_t, hat_t, jnp.asarray(mask_np))
         t = jnp.sum(out, axis=0)

@@ -860,6 +860,135 @@ def stage_bigm_interp(m=23, batch=8, kl=17):
     guard(f"m{m}-probe-interpkl{kl}", run)
 
 
+def stage_m17split(m=17):
+    """Whole-code m17 via the two-kernel split (VERDICT r3 next-5 /
+    r4 next-3): hybrid with kernel_level=16 — the XLA top keeps ONLY
+    the root f/g/combine, so the decode is two level-16 kernel calls
+    with one HBM hop between them (the unrolled whole-code m17 kernel
+    would need ~183M VMEM > the chip). bf16 compute halves the value
+    chain's VMEM vs f32 (exact for integers <= 256 — the r2 receipt);
+    the f32 twin is attempted for the A/B and its OOM recorded if it
+    doesn't fit. Parity is asserted on-chip against the receipted kl15
+    champion before timing. Baselines to beat: m17-u kl15-v64 147.6K,
+    m17-cw kl15-v110 123.1K fps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import polar_tpu as pt
+    from polar_tpu.utils.benchmark import measure_decode_fps
+
+    code = pt.make_code(m, rate=0.5)
+    batch = max(128, (1 << 25) // (1 << m))
+    llrs = llr_batch(code, batch)
+    champs = {}
+
+    def champion(out):
+        if out not in champs:
+            v = 64 if out == "u" else 110
+            champs[out] = jax.jit(pt.make_fastssc_decoder(
+                code, output=out, output_dtype=jnp.int8, kernel_level=15,
+                kernel_frame_tile=128, kernel_vmem_limit_mb=v))
+        return champs[out]
+
+    for out, cdt, tag in (("u", jnp.bfloat16, "bf16"),
+                          ("codeword", jnp.bfloat16, "bf16"),
+                          ("u", jnp.float32, "f32")):
+        name = f"m{m}-split-{'u' if out == 'u' else 'cw'}-kl16-{tag}-v110"
+
+        def run(out=out, cdt=cdt, name=name):
+            t0 = time.perf_counter()
+            dec = jax.jit(pt.make_fastssc_decoder(
+                code, output=out, output_dtype=jnp.int8, kernel_level=16,
+                kernel_frame_tile=128, kernel_compute_dtype=cdt,
+                kernel_vmem_limit_mb=110))
+            got = np.asarray(dec(llrs))
+            build_s = time.perf_counter() - t0
+            ref = np.asarray(champion(out)(llrs))
+            parity = bool(np.array_equal(got, ref))
+            fps = measure_decode_fps(dec, llrs, iters=8)
+            log({"cfg": name, "batch": batch, "n": code.N,
+                 "fps": round(fps, 1), "build_s": round(build_s, 1),
+                 "parity_vs_kl15": parity, "ts": time.time()})
+
+        guard(name, run)
+
+
+def stage_wrapprofile(m=14, batch=2048):
+    """VERDICT r4 next-4: isolate the m14 'dispatch-wrapper penalty'
+    (824.2K direct kernel vs 724.2K `m14-steprate-sys`). The two
+    receipts measure DIFFERENT programs — ``make_step_body`` never
+    builds the whole-chain kernel (only ``make_step``'s auto dispatch
+    does); this stage measures every distinct m14 step path at HEAD on
+    one batch so the table can name its champion correctly:
+
+      wrap-kernel-direct   make_pallas_step called straight (the r3
+                           ``m14-stepkernel-t128-v96`` config)
+      wrap-kernel-jit      the same kernel behind one extra jax.jit
+                           (make_step's nesting, no dispatch closure)
+      wrap-makestep-auto   make_step(code) — the SHIPPED campaign path
+                           (r3 ``m14-makestep-auto``: 671.7K)
+      wrap-stepbody-front  make_step_body rng='pallas' — the block
+                           front+decode_count path that the steprate
+                           stage actually measures (724.2K)
+    """
+    import jax
+
+    import polar_tpu as pt
+    from polar_tpu.ber import make_step, make_step_body
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_step
+
+    code = pt.make_code(m, rate=0.5)
+    snr = 0.5
+    kern = make_pallas_step(code, frame_tile=128, prng="native",
+                            systematic=True, vmem_limit_mb=96)
+    measure_keyed(f"m{m}-wrap-kernel-direct",
+                  lambda k: kern(k, snr, batch), batch)
+    jkern = jax.jit(lambda k, s: kern(k, s, batch))
+    measure_keyed(f"m{m}-wrap-kernel-jit", lambda k: jkern(k, snr), batch)
+    step = make_step(code)
+    measure_keyed(f"m{m}-wrap-makestep-auto",
+                  lambda k: step(k, snr, batch), batch)
+    body = make_step_body(code, rng="pallas")
+    jbody = jax.jit(lambda k, s: body(k, s, batch))
+    measure_keyed(f"m{m}-wrap-stepbody-front",
+                  lambda k: jbody(k, snr), batch)
+
+
+def stage_frontcfg2(ms=(15, 16)):
+    """VERDICT r4 next-5: kernel B's channel-block cap (4096 rows) was
+    measured under the DEFAULT 16M scoped budget (17.9M OOM at 8192
+    rows) BEFORE r3 discovered the budget, not the hardware, was the
+    wall. The front is the structural cap on every step row, so taller
+    channel blocks at raised budgets — fewer kernel-B grid passes and
+    fewer XLA middle stages — attack the only term the cap arithmetic
+    says matters. Front-only A/B at m15/m16: default (cbl12, 16M
+    budget) vs cbl13/14/15 at budgets sized to the measured
+    ~17.9M-per-2^13 growth."""
+    import polar_tpu as pt
+    from polar_tpu.ops.pallas.step_kernel import make_pallas_front_blocks
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        for cbl, vmem in ((12, None), (13, 48), (14, 80), (15, 110)):
+            if cbl > m:
+                continue
+            name = f"m{m}-front2-cbl{cbl}-v{vmem or 16}"
+
+            def run(cbl=cbl, vmem=vmem, name=name, code=code, batch=batch,
+                    m=m):
+                front = make_pallas_front_blocks(
+                    code, frame_tile=128, block_level=min(13, m - 1),
+                    chan_block_level=cbl, systematic=True,
+                    vmem_limit_mb=vmem)
+                measure_keyed(name,
+                              lambda k, f=front, b=batch: f(k, 0.5, b),
+                              batch)
+
+            guard(name, run)
+
+
 def stage_packprobe(rows=1024, tile=256, chain=64):
     # rows=2048 OOM'd: XLA stages the full (rows, 8*tile) output on the
     # VMEM stack around the custom call (receipt packprobe-native-f,
@@ -1542,6 +1671,9 @@ STAGES = {
     "stepkernel": stage_stepkernel,
     "parity": stage_parity,
     "vmem3": stage_vmem3,
+    "m17split": stage_m17split,
+    "wrapprofile": stage_wrapprofile,
+    "frontcfg2": stage_frontcfg2,
 }
 
 

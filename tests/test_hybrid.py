@@ -52,6 +52,26 @@ def test_hybrid_fuse_matches_plain(m, klevel, output):
     np.testing.assert_array_equal(lane.T, ref)
 
 
+@pytest.mark.parametrize("output", ["u", "codeword"])
+@pytest.mark.parametrize("cdt", [jnp.float32, jnp.bfloat16])
+def test_hybrid_root_split_matches_xla(output, cdt):
+    """kernel_level = m-1: the two-kernel whole-code split (the m17
+    frontier config, sweep stage m17split) — the XLA top keeps only the
+    root f/g/combine and the decode is two level-(m-1) kernel calls
+    with one HBM hop. Must be bit-exact in both compute dtypes (bf16
+    halves the kernel's VMEM; exact for integer values <= 256)."""
+    m = 8
+    code = pt.make_code(m, rate=0.5)
+    llr = _llrs(code, 128, 77)
+    ref = np.asarray(jax.jit(make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8))(llr))
+    split = np.asarray(jax.jit(make_fastssc_decoder(
+        code, output=output, output_dtype=jnp.int8, kernel_level=m - 1,
+        kernel_frame_tile=128, kernel_compute_dtype=cdt,
+        kernel_interpret=True))(llr))
+    np.testing.assert_array_equal(split, ref)
+
+
 def test_hybrid_systematic_output():
     code = pt.make_code(8, rate=0.5)
     llr = _llrs(code, 128, 42)
