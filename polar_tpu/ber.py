@@ -72,6 +72,12 @@ class CampaignResult:
 # m13-steprate-sys-blockfront), so m >= 13 always takes the block path.
 _FRONT_WHOLE_MAX_LEVEL = 12   # make_pallas_front / whole-code SSA ceiling
 _FRONT_BLOCK_LEVEL = 13       # block front kernels' row-block size
+# per-level override of the block front's channel-block level and VMEM
+# budget: (chan_block_level, vmem_limit_mb). EMPTY BY DEFAULT — kernel
+# B's 4096-row cap was measured under the default 16M scoped budget;
+# levels enter only with a winning step A/B receipt at a raised budget
+# (sweep --stage frontcfg2).
+_FRONT_CHAN_CFG: dict = {}
 # decode+count fusion ceiling: the whole-code SSA decode_count kernel
 # compiles and wins under raised Mosaic VMEM budgets — m13-t128-v32
 # 3.56M fps (the bare cw-decode rate), m14-t128-v64 1.56M (receipts
@@ -193,9 +199,11 @@ def make_step_body(code: PolarCode, *, systematic: bool = True, dtype=jnp.int8,
                 code, frame_tile=128, interpret=rng_interpret)
         else:
             from .ops.pallas.step_kernel import make_pallas_front_blocks
+            cbl, cvmem = _FRONT_CHAN_CFG.get(code.level, (None, None))
             front = make_pallas_front_blocks(
                 code, frame_tile=128,
                 block_level=min(_FRONT_BLOCK_LEVEL, code.level - 1),
+                chan_block_level=cbl, vmem_limit_mb=cvmem,
                 interpret=rng_interpret, prng=kprng, systematic=systematic)
             if systematic and code.level <= _DECODE_COUNT_MAX_LEVEL:
                 # block front + whole-code decode+count kernel: no

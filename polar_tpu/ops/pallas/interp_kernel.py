@@ -42,6 +42,17 @@ interpreter loses to the unrolled kernels wherever those compile
 frontier: fast first-call compiles at m ≥ 20 and correctness probes
 past the unrolled ladder's compile wall.
 
+**VMEM bound on the subtree level:** chain ops are chunked
+(``_CHAIN_CHUNK_ROWS``) so their live sets stay bounded at any N, but
+SUBTREE bodies cannot be chunked (the transform couples their rows) —
+a level-``kl`` SSA body's value chain is the whole-code kernel's at
+N=2^kl. At m16 the kl10 bodies' spill already exceeds the chip
+(receipts ``m16-interp-decodecount-kl10`` r4: scoped 136M > 128M
+physical; kl8 fits and runs 1,801 fps), so deep-frontier configs keep
+``subtree_level`` small enough that one body's live set fits next to
+the (2N, T) pyramid — the step-count-vs-body-size trade the
+instruction-streaming wall already pushes the same direction.
+
 State is the reference's, verbatim: a **soft pyramid** VMEM scratch
 (level-ℓ LLR slot = rows ``[2^ℓ, 2^(ℓ+1))`` — static offsets, exactly
 ``polar_decoder.hh:128``'s layout) and **absolutely-positioned**

@@ -989,6 +989,28 @@ def stage_frontcfg2(ms=(15, 16)):
             guard(name, run)
 
 
+def stage_frontcfg2step(ms=(15, 16), cbl=13, vmem=48):
+    """Step-level adoption A/B for the frontcfg2 winner: the default
+    channel-block config vs ``(cbl, vmem)`` through the FULL campaign
+    step — the adoption decision for ``ber._FRONT_CHAN_CFG``."""
+    import polar_tpu as pt
+    import polar_tpu.ber as ber
+
+    for m in ms:
+        batch = max(256, (1 << 25) // (1 << m))
+        code = pt.make_code(m, rate=0.5)
+        orig = ber._FRONT_CHAN_CFG
+        try:
+            ber._FRONT_CHAN_CFG = {}
+            measure_step(f"m{m}-front2step-default", code, batch,
+                         systematic=True, rng="pallas")
+            ber._FRONT_CHAN_CFG = {m: (cbl, vmem)}
+            measure_step(f"m{m}-front2step-cbl{cbl}-v{vmem}", code, batch,
+                         systematic=True, rng="pallas")
+        finally:
+            ber._FRONT_CHAN_CFG = orig
+
+
 def stage_packprobe(rows=1024, tile=256, chain=64):
     # rows=2048 OOM'd: XLA stages the full (rows, 8*tile) output on the
     # VMEM stack around the custom call (receipt packprobe-native-f,
@@ -1674,6 +1696,7 @@ STAGES = {
     "m17split": stage_m17split,
     "wrapprofile": stage_wrapprofile,
     "frontcfg2": stage_frontcfg2,
+    "frontcfg2step": stage_frontcfg2step,
 }
 
 
@@ -1690,6 +1713,10 @@ def main():
     ap.add_argument("--kls", type=str, default=None,
                     help="comma-separated subtree levels for stages "
                          "taking kls=")
+    ap.add_argument("--cbl", type=int, default=None,
+                    help="channel-block level for stages taking cbl=")
+    ap.add_argument("--vmem", type=int, default=None,
+                    help="vmem_limit_mb for stages taking vmem=")
     args = ap.parse_args()
     if args.list or not args.stage:
         for name in STAGES:
@@ -1711,6 +1738,10 @@ def main():
         kw["systematic"] = False
     if args.kls is not None and "kls" in params:
         kw["kls"] = tuple(int(x) for x in args.kls.split(","))
+    if args.cbl is not None and "cbl" in params:
+        kw["cbl"] = args.cbl
+    if args.vmem is not None and "vmem" in params:
+        kw["vmem"] = args.vmem
     fn(**kw)
     return 0
 

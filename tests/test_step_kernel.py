@@ -487,6 +487,26 @@ def test_block_front_step_matches_whole_front_step(monkeypatch):
     assert int(out["uncorrected_errors"]) == 0
 
 
+def test_front_chan_cfg_override_counts_identically(monkeypatch):
+    """The _FRONT_CHAN_CFG adoption hook (taller kernel-B channel
+    blocks under a raised VMEM budget, sweep --stage frontcfg2) only
+    moves butterfly stages between kernel B and the XLA middle — the
+    step's counters must be bit-identical on the same key."""
+    import polar_tpu.ber as ber
+
+    code = pt.make_code(9, rate=0.5)
+    monkeypatch.setattr(ber, "_FRONT_WHOLE_MAX_LEVEL", 5)
+    base = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    monkeypatch.setattr(ber, "_FRONT_CHAN_CFG", {9: (7, 32)})
+    tall = ber.make_step_body(code, rng="pallas-bits", rng_interpret=True)
+    for k, snr in [(1, 0.5), (5, -1.0)]:
+        a = {n: int(v)
+             for n, v in base(jax.random.PRNGKey(k), snr, 256).items()}
+        b = {n: int(v)
+             for n, v in tall(jax.random.PRNGKey(k), snr, 256).items()}
+        assert a == b, (snr, a, b)
+
+
 @pytest.mark.parametrize("bl,cbl", [(5, 5), (6, 4)])
 def test_front_blocks_nonsys_inject_exact(bl, cbl):
     """Non-systematic block front: (llr_t, cw_t, u0_t) must match the
