@@ -940,19 +940,24 @@ def stage_wrapprofile(m=14, batch=2048):
 
     code = pt.make_code(m, rate=0.5)
     snr = 0.5
-    kern = make_pallas_step(code, frame_tile=128, prng="native",
-                            systematic=True, vmem_limit_mb=96)
-    measure_keyed(f"m{m}-wrap-kernel-direct",
-                  lambda k: kern(k, snr, batch), batch)
-    jkern = jax.jit(lambda k, s: kern(k, s, batch))
-    measure_keyed(f"m{m}-wrap-kernel-jit", lambda k: jkern(k, snr), batch)
-    step = make_step(code)
-    measure_keyed(f"m{m}-wrap-makestep-auto",
-                  lambda k: step(k, snr, batch), batch)
-    body = make_step_body(code, rng="pallas")
-    jbody = jax.jit(lambda k, s: body(k, s, batch))
-    measure_keyed(f"m{m}-wrap-stepbody-front",
-                  lambda k: jbody(k, snr), batch)
+    for sys_, tag in ((True, "sys"), (False, "nonsys")):
+        def run(sys_=sys_, tag=tag):
+            kern = make_pallas_step(code, frame_tile=128, prng="native",
+                                    systematic=sys_, vmem_limit_mb=96)
+            measure_keyed(f"m{m}-wrap-{tag}-kernel-direct",
+                          lambda k: kern(k, snr, batch), batch)
+            jkern = jax.jit(lambda k, s: kern(k, s, batch))
+            measure_keyed(f"m{m}-wrap-{tag}-kernel-jit",
+                          lambda k: jkern(k, snr), batch)
+            step = make_step(code, systematic=sys_)
+            measure_keyed(f"m{m}-wrap-{tag}-makestep-auto",
+                          lambda k: step(k, snr, batch), batch)
+            body = make_step_body(code, systematic=sys_, rng="pallas")
+            jbody = jax.jit(lambda k, s: body(k, s, batch))
+            measure_keyed(f"m{m}-wrap-{tag}-stepbody-front",
+                          lambda k: jbody(k, snr), batch)
+
+        guard(f"m{m}-wrap-{tag}", run)
 
 
 def stage_frontcfg2(ms=(15, 16)):
