@@ -87,18 +87,25 @@ _DECODE_COUNT_MAX_LEVEL = 14
 _DECODE_COUNT_VMEM = {13: 32, 14: 64}
 
 
+# in-loop hybrid configs promoted BY STEP RECEIPT (sweep --stage
+# stepkl15): kl15-t128-v110 wins inside the real campaign step at m16
+# (150.2K vs kl13's 129.5K steps/s, +16%) AND m17 (62.9K vs 56.1K,
+# +12%) — receipts ``m16/m17-steprate-sys-kl15v110`` / ``-kl13`` r5 —
+# where r3's one combined kl15 attempt had OOM'd under the default
+# budget. Levels above 17 inherit the same config (the subtree kernels
+# are level-local; deeper codes only add XLA top levels).
+_FRONT_HYBRID_CFG = {level: (15, 128, 110) for level in range(16, 31)}
+
+
 def _front_decode_cfg(level: int, u_output: bool) -> tuple[int, int, int | None]:
     """(kernel_level, kernel_frame_tile, kernel_vmem_limit_mb) for the
     front path's hybrid decoder — the decoder that runs INSIDE the
-    campaign step's fori_loop. kl13-t128, everywhere: kl15 subtree
-    kernels beat kl13 in decode-only A/Bs (receipts klladder / klcw),
-    but no kl15 config has a passing receipt inside the actual step
-    loop, where scoped VMEM is tighter — even kl13 needed the dead-
-    u-store elision ``emit_u=False`` to fit at m >= 15 (receipt
-    ``m15-steprate-blockfront-kl13-nou``), and r3's one combined kl15
-    attempt (``m16-steprate-sys``) OOM'd. Promote kl15 here only with a
-    passing steprate receipt (scripts/sweep.py --stage steprate)."""
-    return min(13, level - 1), 128, None
+    campaign step's fori_loop. Default kl13-t128: even kl13 needed the
+    dead-u-store elision ``emit_u=False`` to fit at m >= 15 (receipt
+    ``m15-steprate-blockfront-kl13-nou``); levels enter
+    ``_FRONT_HYBRID_CFG`` only with a winning in-loop steprate receipt
+    (scripts/sweep.py --stage stepkl15)."""
+    return _FRONT_HYBRID_CFG.get(level, (min(13, level - 1), 128, None))
 
 
 # interpreter-kernel decode+count (ops/pallas/interp_kernel.py) for the
