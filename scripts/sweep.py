@@ -770,7 +770,7 @@ def stage_interp(ms=(13, 15, 16), kls=(8, 10)):
             guard(name, run)
 
 
-def stage_interp17(kls=(10, 12)):
+def stage_interp17(kls=(10, 12), vmem=110):
     """Whole-code m17 via the interpreter kernel: the unrolled SSA
     m17 would need ~183M VMEM (> chip); the interpreter's int8 pyramid
     fits (~100M for u output). Beats VERDICT r3 next-5's two-kernel
@@ -786,7 +786,7 @@ def stage_interp17(kls=(10, 12)):
     m, batch = 17, 256
     code = pt.make_code(m, rate=0.5)
     llrs = llr_batch(code, batch)
-    for out, v in (("u", 110), ("codeword", 110)):
+    for out, v in (("u", vmem), ("codeword", vmem)):
         for kl in kls:
             # bf16 compute: the m17 int8 planes alone are ~80M; f32
             # chain temps would blow past physical VMEM (the f32
@@ -860,7 +860,7 @@ def stage_bigm_interp(m=23, batch=8, kl=17):
     guard(f"m{m}-probe-interpkl{kl}", run)
 
 
-def stage_m17split(m=17):
+def stage_m17split(m=17, vmem=110):
     """Whole-code m17 via the two-kernel split (VERDICT r3 next-5 /
     r4 next-3): hybrid with kernel_level=16 — the XLA top keeps ONLY
     the root f/g/combine, so the decode is two level-16 kernel calls
@@ -894,14 +894,14 @@ def stage_m17split(m=17):
     for out, cdt, tag in (("u", jnp.bfloat16, "bf16"),
                           ("codeword", jnp.bfloat16, "bf16"),
                           ("u", jnp.float32, "f32")):
-        name = f"m{m}-split-{'u' if out == 'u' else 'cw'}-kl16-{tag}-v110"
+        name = f"m{m}-split-{'u' if out == 'u' else 'cw'}-kl16-{tag}-v{vmem}"
 
         def run(out=out, cdt=cdt, name=name):
             t0 = time.perf_counter()
             dec = jax.jit(pt.make_fastssc_decoder(
                 code, output=out, output_dtype=jnp.int8, kernel_level=16,
                 kernel_frame_tile=128, kernel_compute_dtype=cdt,
-                kernel_vmem_limit_mb=110))
+                kernel_vmem_limit_mb=vmem))
             got = np.asarray(dec(llrs))
             build_s = time.perf_counter() - t0
             ref = np.asarray(champion(out)(llrs))
