@@ -686,7 +686,7 @@ def stage_klcw(ms=(16, 17)):
                     llrs, iters=16)
 
 
-def stage_klcwfuse(ms=(16, 17)):
+def stage_klcwfuse(ms=(16, 17), vmem=None):
     """Fused-kl15 A/B (VERDICT r3 next-4): boundary f/g/comb fusion is
     receipted only for kl13 (m17-u +4.2%); kl15 hybrids shipped
     unfused on extrapolation. Measures fused vs unfused kl15 on the
@@ -700,7 +700,9 @@ def stage_klcwfuse(ms=(16, 17)):
         batch = max(256, (1 << 25) // (1 << m))
         code = pt.make_code(m, rate=0.5)
         llrs = llr_batch(code, batch)
-        for out, v in (("codeword", 110), ("u", 64)):
+        tracks = (("codeword", 110), ("u", 64)) if vmem is None \
+            else (("codeword", vmem), ("u", vmem))
+        for out, v in tracks:
             for fuse in (False, True):
                 measure(
                     f"m{m}-hybrid{'cw' if out != 'u' else 'u'}-kl15-"
