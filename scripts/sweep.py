@@ -1631,12 +1631,15 @@ def stage_sincosab(m=13, batch=4096):
             sk._sincos_2pi = poly
 
 
-def stage_bigm(m=22, batch=8):
-    """Decode-frontier rung (VERDICT r2 next-6): one noiseless
-    round-trip at m=22 (N=4,194,304) through the hybrid kl13-t128,
+def stage_bigm(m=22, batch=8, kl=13, vmem=None):
+    """Decode-frontier rung (VERDICT r2 next-6, r4 next-2): one
+    noiseless round-trip at m=22+ (N=4M+) through the hybrid,
     recording first-call trace+compile and steady-state times. The r2
-    ladder reached m=21 (2055 s first call); distinct subtree patterns
-    are jitted once, so the ceiling is the XLA top-graph trace."""
+    ladder reached m=21 (2055 s first call) and r3 m=22 via kl13
+    (4134 s); distinct subtree patterns are jitted once, so the
+    ceiling is the XLA top-graph trace. ``kl``/``vmem`` pick the
+    subtree rung — kl15-v64 halves the XLA top sites vs kl13 and its
+    kernel bodies are the receipted (cached) champions."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -1651,21 +1654,22 @@ def stage_bigm(m=22, batch=8):
         llr = (cw.astype(jnp.int8) * jnp.int8(96)).astype(jnp.int8)
         del cw
         dec = jax.jit(pt.make_fastssc_decoder(
-            code, output_dtype=jnp.int8, kernel_level=13,
-            kernel_frame_tile=128))
+            code, output_dtype=jnp.int8, kernel_level=kl,
+            kernel_frame_tile=128, kernel_vmem_limit_mb=vmem))
         t0 = time.perf_counter()
         out = np.asarray(dec(llr))
         t_first = time.perf_counter() - t0
         t0 = time.perf_counter()
         out2 = np.asarray(dec(llr))
         t_second = time.perf_counter() - t0
-        log({"cfg": f"m{m}-probe", "noiseless_roundtrip":
+        log({"cfg": f"m{m}-probe" + ("" if kl == 13 else f"-kl{kl}"),
+             "noiseless_roundtrip":
              bool(np.array_equal(out, msg) and np.array_equal(out2, msg)),
              "first_call_s": round(t_first, 1),
              "steady_call_s": round(t_second, 2),
              "frames": batch, "ts": time.time()})
 
-    guard(f"m{m}-probe", run)
+    guard(f"m{m}-probe-kl{kl}", run)
 
 
 STAGES = {
@@ -1722,6 +1726,8 @@ def main():
                          "taking kls=")
     ap.add_argument("--cbl", type=int, default=None,
                     help="channel-block level for stages taking cbl=")
+    ap.add_argument("--kl", type=int, default=None,
+                    help="single subtree level for stages taking kl=")
     ap.add_argument("--vmem", type=int, default=None,
                     help="vmem_limit_mb for stages taking vmem=")
     args = ap.parse_args()
@@ -1747,6 +1753,8 @@ def main():
         kw["kls"] = tuple(int(x) for x in args.kls.split(","))
     if args.cbl is not None and "cbl" in params:
         kw["cbl"] = args.cbl
+    if args.kl is not None and "kl" in params:
+        kw["kl"] = args.kl
     if args.vmem is not None and "vmem" in params:
         kw["vmem"] = args.vmem
     fn(**kw)
