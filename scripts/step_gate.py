@@ -28,10 +28,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# (level, batch, floor_steps_per_s): receipted champion − 3% slack
+# (level, batch, floor_steps_per_s): receipted champion minus slack —
+# 3% at m13 (measures dead-on champion: 1.679M twice), 5% at m15 (the
+# observed spread is wider: 322.7-329.8K across r4/r5 receipts, so a
+# 3% floor had under 1% margin and would flake)
 GATES = (
     (13, 4096, 1_630_000.0),
-    (15, 1024, 320_000.0),
+    (15, 1024, 313_000.0),
 )
 SNR_DB = 0.5
 
