@@ -131,8 +131,11 @@ _FRONT_CW_WHOLE_LEVELS = frozenset(_FRONT_CW_WHOLE_VMEM)
 # systematic levels above the decode_count fusion ceiling: replaces the
 # XLA reduction passes over three (N, B) int8 arrays with one tiled
 # VMEM pass. Levels enter only with a winning on-chip step A/B receipt
-# (sweep --stage countk).
-_COUNT_KERNEL_LEVELS: frozenset = frozenset()
+# (sweep --stage countk). r5 receipts: m15 WINS (331.7K vs 323.6-325.8K
+# steps/s, +2.4% — the new m15 champion) and m16 LOSES (145.7K vs
+# 149.7K, -2.7%: the kl15-hybrid step's XLA top already overlaps its
+# counter passes), so m15 only.
+_COUNT_KERNEL_LEVELS: frozenset = frozenset({15})
 # the counter kernel stages four (N, tile) int8 blocks, ~24M/48M scoped
 # at m15/m16 vs Mosaic's 16M default (receipt m16-countk-kernel OOM r5)
 _COUNT_KERNEL_VMEM = {15: 32, 16: 64}
