@@ -6,9 +6,11 @@
 # NOTE: edit parameters per batch-2 receipts before running.
 set -x
 cd /root/repo
+# (the m16/m17 sys steprate rows at HEAD are already receipted this
+# round: countk-xla at the promoted default and stepkl15's kl15v110
+# measure the identical programs)
 python scripts/sweep.py --stage interp17 --kls 12 --vmem 116
 python scripts/sweep.py --stage klcwfuse --ms 16 --vmem 116
-python scripts/sweep.py --stage steprate --ms 16,17
 python scripts/waterfall.py --m 17 --rate 0.5 --batch 256 \
     --max-frames 32768 --out results/n131072_sys_int8.json --retries 2
 python bench.py
