@@ -9,9 +9,9 @@ cd /root/repo
 python scripts/waterfall.py --m 17 --rate 0.5 --batch 256 \
     --max-frames 32768 --out results/n131072_sys_int8.json --retries 2
 python scripts/sweep.py --stage interp17 --kls 12 --vmem 116
-python scripts/sweep.py --stage klcwfuse --ms 16 --vmem 116
 python bench.py
 python scripts/step_gate.py
+python scripts/sweep.py --stage klcwfuse --ms 16 --vmem 116
 # the m23 rung via the unrolled kl15 hybrid (cached champion bodies):
 # the interp-kl17 attempt's remote compile was SIGKILLed after ~85 min
 # of local trace (receipt m23-probe-interpkl17 r5); this is the
