@@ -9,6 +9,9 @@ cd /root/repo
 python scripts/waterfall.py --m 17 --rate 0.5 --batch 256 \
     --max-frames 32768 --out results/n131072_sys_int8.json --retries 2
 python scripts/sweep.py --stage interp17 --kls 12 --vmem 116
+# the kl16 split kernel OOM'd at 115.98M vs the 110M cap; re-probe at
+# 120M (chip has 128M physical; no receipt has ever probed above 110)
+python scripts/sweep.py --stage m17split --vmem 120
 python bench.py
 python scripts/step_gate.py
 python scripts/sweep.py --stage klcwfuse --ms 16 --vmem 116
