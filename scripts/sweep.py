@@ -893,9 +893,12 @@ def stage_m17split(m=17, vmem=110):
                 kernel_frame_tile=128, kernel_vmem_limit_mb=v))
         return champs[out]
 
+    # bf16 only: the u-bf16 kernel already measures 115.98M scoped
+    # (OOM receipt at the 110M cap); the f32 chain is ~2x the bf16
+    # temporaries => ~230M >> the chip's 128M physical — no point
+    # burning an hour of compile to document that OOM.
     for out, cdt, tag in (("u", jnp.bfloat16, "bf16"),
-                          ("codeword", jnp.bfloat16, "bf16"),
-                          ("u", jnp.float32, "f32")):
+                          ("codeword", jnp.bfloat16, "bf16")):
         name = f"m{m}-split-{'u' if out == 'u' else 'cw'}-kl16-{tag}-v{vmem}"
 
         def run(out=out, cdt=cdt, name=name):
