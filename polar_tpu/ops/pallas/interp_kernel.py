@@ -38,9 +38,24 @@ TABLE ARM regardless of which arm is taken (receipts
 beyond that cost grows linearly with the table). Small-table kernels
 branch for real (``switchprobe*`` receipts). Consequently the
 interpreter loses to the unrolled kernels wherever those compile
-(m13: 1.12M vs 3.56M fps; m15: 4.6K) and its niche is the deep
-frontier: fast first-call compiles at m ≥ 20 and correctness probes
-past the unrolled ladder's compile wall.
+(m13: 1.12M vs 3.56M fps; m15: 4.6K).
+
+**The deep-frontier niche this module originally claimed ("fast
+first-call compiles at m ≥ 20, probes past the unrolled ladder's
+compile wall") was put to the receipt test in round 5 and REFUTED:**
+the m23 interp-kl17 hybrid spent ~85 minutes in local trace/lowering
+(RSS 24 GB) before the remote compile helper was SIGKILLed
+(`m23-probe-interpkl17` r5) — the per-site interp kernels at kl17
+multiply distinct branch-table bodies instead of shrinking the
+program; and the m17 whole-code interp decoders OOM with a scoped
+need that TRACKS the VMEM cap (+~2M over any budget: 112M at cap
+110, 117.9M at cap 116 — receipts `m17-interp-{u,cw}-kl12-v1*`).
+What survives, by receipt: fast compiles and bit-exact execution at
+the sizes below the streaming wall (m13 builds 24 s, m15 89 s,
+m15/m16 decode+count where the unrolled twin cannot compile at all)
+— a correctness/compile-time tool, not a frontier path. The m≥20
+frontier runs on the unrolled kl-hybrid ladder (`m22-probe`: kl13,
+4134 s first call).
 
 **VMEM bound on the subtree level:** chain ops are chunked
 (``_CHAIN_CHUNK_ROWS``) so their live sets stay bounded at any N, but
