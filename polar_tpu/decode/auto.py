@@ -52,8 +52,11 @@ _HYBRID_KL_CW, _HYBRID_KL_CW_VMEM = 15, 110
 _HYBRID_KERNEL_LEVEL = 13    # pre-kl15 champion (r2 ladder2 receipts)
 _HYBRID_TILE = 128           # t256 at kl13 exceeds scoped VMEM (receipt)
 # boundary f/g/comb fusion beat the UNFUSED kl13 where the XLA top is
-# deep (m17 +4.2%), but kl15 beats both; fusion for kl15 is unreceipted
-# and stays off.
+# deep (m17 +4.2%), but kl15 beats both; fused kl15-cw is OFF BY
+# RECEIPT — its kernel needs 112.9M scoped vs the ~110M effective
+# ceiling, and r5's upward cap probes showed the reported need tracks
+# the budget (cap-chasing: +2-4M over any cap), so no budget fits
+# (receipts m16-hybridcw-kl15-fuse1-v110 + the r5 v116/v120 probes).
 _HYBRID_FUSE_MIN_LEVEL = 16
 _HYBRID_FUSE_VMEM_MB = 32
 
